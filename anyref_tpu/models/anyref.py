@@ -1,0 +1,424 @@
+"""AnyRef model core, TPU-native.
+
+Re-design of the reference ``AnyRefForCausalLM`` (model/anyref.py:182-822):
+a LLaVA-style multimodal LLaMA that emits [SEG] tokens whose post-norm hidden
+states project (text_hidden_fcs, anyref.py:115-127) into SAM's prompt space;
+SAM's mask decoder turns them into masks. Reference expressions can be text,
+a CLIP-encoded reference crop (<img_ref> x4), an RoI box, or ImageBind audio
+clips (<audio_ref> x3).
+
+Everything here is static-shape and batched:
+  * multimodal splice is a vectorized gather/select (no per-sample loops);
+  * [SEG] positions are extracted with a fixed per-sample budget
+    (cfg.max_seg_per_sample) + validity mask, replacing the reference's
+    dynamic torch.where (anyref.py:273-282);
+  * SAM decode runs once over all (sample, seg) slots (reference loops per
+    sample, anyref.py:406-430);
+  * generate() is a lax.scan over decode steps with the KV cache and
+    last-layer hidden states carried (reference relies on HF generate
+    capturing hidden states per step, anyref.py:704-730).
+
+Returns one typed result struct, fixing the reference's 2-vs-3-tuple return
+inconsistency (anyref.py:730, 765, 822 — see SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (AUDIO_REF_NUM, IGNORE_INDEX, IMG_REF_NUM,
+                      NUM_IMAGE_TOKENS, AnyRefConfig)
+from ..ops.common import linear
+from ..ops.losses import dice_loss, lm_cross_entropy, sigmoid_ce_loss
+from . import clip_vit, llama
+from . import sam as sam_mod
+from .imagebind import audio as imagebind_audio
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+def init(key: jax.Array, cfg: AnyRefConfig, dtype=jnp.bfloat16) -> dict:
+    k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(key, 8)
+    d = cfg.llama.hidden_size
+    params = {
+        "llama": llama.init(k1, cfg.llama, dtype),
+        "clip": clip_vit.init(k2, cfg.clip, dtype),
+        "sam": sam_mod.init(k3, cfg.sam, dtype),
+        # LLaVA mm_projector: Linear(clip_hidden -> llama_hidden)
+        "mm_projector": {
+            "w": (jax.random.normal(k4, (cfg.clip.hidden_size, d)) * 0.02).astype(dtype),
+            "b": jnp.zeros((d,), dtype),
+        },
+        # text_hidden_fcs: Linear(d,d) -> ReLU -> Linear(d,out_dim) -> Dropout(0)
+        # (reference anyref.py:115-127)
+        "text_hidden_fcs": {
+            "lin1": {"w": (jax.random.normal(k5, (d, d)) * (d ** -0.5)).astype(jnp.float32),
+                     "b": jnp.zeros((d,), jnp.float32)},
+            "lin2": {"w": (jax.random.normal(k6, (d, cfg.out_dim)) * (d ** -0.5)).astype(jnp.float32),
+                     "b": jnp.zeros((cfg.out_dim,), jnp.float32)},
+        },
+    }
+    if cfg.audio is not None:
+        params["audio_encoder"] = imagebind_audio.init(k7, cfg.audio, dtype)
+        params["audio_projector"] = {
+            "w": (jax.random.normal(k8, (cfg.audio.out_embed_dim, d)) * 0.02).astype(dtype),
+            "b": jnp.zeros((d,), dtype),
+        }
+    if cfg.use_loc_tokens:
+        params["loc_embeddings"] = (
+            jax.random.normal(k8, (cfg.tokens.num_loc, cfg.out_dim)) * 0.02
+        ).astype(jnp.float32)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# multimodal embedding assembly
+# ---------------------------------------------------------------------------
+def _expand_image(tokens_or_labels: jax.Array, img_pos: jax.Array,
+                  fill_value, out_len: int) -> jax.Array:
+    """Expand [B, T] int sequence to [B, T+255]: the single <image> token at
+    img_pos[b] becomes NUM_IMAGE_TOKENS positions filled with fill_value."""
+    B, T = tokens_or_labels.shape
+    j = jnp.arange(out_len)[None, :]                       # [1, L]
+    p = img_pos[:, None]                                   # [B, 1]
+    in_img = (j >= p) & (j < p + NUM_IMAGE_TOKENS)
+    src = jnp.where(j < p, j, j - (NUM_IMAGE_TOKENS - 1))
+    src = jnp.clip(src, 0, T - 1)
+    gathered = jnp.take_along_axis(tokens_or_labels, src, axis=1)
+    return jnp.where(in_img, fill_value, gathered)
+
+
+def _scatter_placeholder(embeds: jax.Array, token_ids: jax.Array,
+                         placeholder_id: int, feats: jax.Array,
+                         valid: jax.Array) -> jax.Array:
+    """Replace embeddings at positions where token_ids == placeholder_id with
+    feats[b, k] (k-th occurrence gets k-th feature row). feats: [B, K, D];
+    valid: [B] whether this sample carries the modality."""
+    mask = (token_ids == placeholder_id) & valid[:, None]
+    occ = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    occ = jnp.clip(occ, 0, feats.shape[1] - 1)
+    gathered = jnp.take_along_axis(feats, occ[:, :, None], axis=1)  # [B, L, D]
+    return jnp.where(mask[:, :, None], gathered.astype(embeds.dtype), embeds)
+
+
+def encode_clip_images(params: dict, cfg: AnyRefConfig,
+                       clip_pixels: jax.Array) -> jax.Array:
+    """CLIP tower + mm_projector -> [B, 256, llama_hidden]."""
+    feats = clip_vit.apply_patch_features(params["clip"], clip_pixels, cfg.clip)
+    return linear(params["mm_projector"], feats)
+
+
+def encode_ref_images(params: dict, cfg: AnyRefConfig,
+                      ref_pixels: jax.Array) -> jax.Array:
+    """Reference-crop pathway: CLIP 256 patches pooled 256 -> 16 -> 4 tokens
+    (reference anyref.py:334-338)."""
+    feats = encode_clip_images(params, cfg, ref_pixels)    # [B, 256, D]
+    B, L, D = feats.shape
+    feats = feats.reshape(B, L // 16, 16, D).mean(axis=2)  # [B, 16, D]
+    return feats.reshape(B, IMG_REF_NUM, -1, D).mean(axis=2)  # [B, 4, D]
+
+
+def encode_audio(params: dict, cfg: AnyRefConfig, mels: jax.Array) -> jax.Array:
+    """ImageBind audio clips -> projected reference tokens [B, 3, D]
+    (reference anyref.py:308-317)."""
+    _, emb = imagebind_audio.get_audio_feature(params["audio_encoder"],
+                                               cfg.audio, mels)
+    return linear(params["audio_projector"], emb.astype(params["audio_projector"]["w"].dtype))
+
+
+def assemble_embeds(params: dict, cfg: AnyRefConfig, input_ids: jax.Array,
+                    clip_feats: jax.Array,
+                    ref_feats: Optional[jax.Array] = None,
+                    ref_valid: Optional[jax.Array] = None,
+                    audio_feats: Optional[jax.Array] = None,
+                    audio_valid: Optional[jax.Array] = None,
+                    labels: Optional[jax.Array] = None):
+    """Build the expanded multimodal embedding sequence.
+
+    input_ids: [B, T] with exactly one <image> token per row.
+    Returns (embeds [B, T+255, D], expanded_ids [B, T+255],
+    expanded_labels or None).
+    """
+    tk = cfg.tokens
+    B, T = input_ids.shape
+    L = T + NUM_IMAGE_TOKENS - 1
+    img_pos = jnp.argmax((input_ids == tk.image).astype(jnp.int32), axis=1)
+
+    exp_ids = _expand_image(input_ids, img_pos, tk.image, L)
+    embeds = llama.embed(params["llama"], exp_ids)
+
+    # splice CLIP patch features over the 256 image positions
+    j = jnp.arange(L)[None, :]
+    p = img_pos[:, None]
+    in_img = (j >= p) & (j < p + NUM_IMAGE_TOKENS)
+    img_idx = jnp.clip(j - p, 0, NUM_IMAGE_TOKENS - 1)
+    img_gathered = jnp.take_along_axis(
+        clip_feats, img_idx[:, :, None], axis=1)
+    embeds = jnp.where(in_img[:, :, None], img_gathered.astype(embeds.dtype), embeds)
+
+    if ref_feats is not None:
+        if ref_valid is None:
+            ref_valid = jnp.ones((B,), bool)
+        embeds = _scatter_placeholder(embeds, exp_ids, tk.img_ref, ref_feats, ref_valid)
+    if audio_feats is not None:
+        if audio_valid is None:
+            audio_valid = jnp.ones((B,), bool)
+        embeds = _scatter_placeholder(embeds, exp_ids, tk.audio_ref,
+                                      audio_feats, audio_valid)
+
+    exp_labels = None
+    if labels is not None:
+        exp_labels = _expand_image(labels, img_pos, IGNORE_INDEX, L)
+    return embeds, exp_ids, exp_labels
+
+
+# ---------------------------------------------------------------------------
+# [SEG] extraction (static budget)
+# ---------------------------------------------------------------------------
+def _seg_slots(exp_ids: jax.Array, seg_id: int, max_seg: int):
+    """Positions of up to max_seg [SEG] tokens per row in the *expanded*
+    sequence. Returns (pos [B, S], valid [B, S]). The hidden state that emits
+    [SEG] lives at pos-1 (reference anyref.py:282 computes pos-1+255 in text
+    space; here ids are already expanded)."""
+    B, L = exp_ids.shape
+    is_seg = exp_ids == seg_id
+    # stable top-k by position: rank occurrences left-to-right
+    occ = jnp.cumsum(is_seg.astype(jnp.int32), axis=1) - 1   # occurrence index
+    slot = jnp.where(is_seg, occ, max_seg)                   # [B, L]
+    pos = jnp.full((B, max_seg), 0, jnp.int32)
+    # scatter: pos[b, slot] = position
+    bidx = jnp.arange(B)[:, None].repeat(L, axis=1)
+    lidx = jnp.arange(L)[None, :].repeat(B, axis=0)
+    pos = jnp.zeros((B, max_seg + 1), jnp.int32).at[
+        bidx.reshape(-1), jnp.clip(slot, 0, max_seg).reshape(-1)
+    ].max(jnp.where(is_seg, lidx, 0).reshape(-1))[:, :max_seg]
+    count = jnp.sum(is_seg, axis=1)
+    valid = jnp.arange(max_seg)[None, :] < count[:, None]
+    return pos, valid
+
+
+def project_seg_hidden(params: dict, hidden: jax.Array) -> jax.Array:
+    """text_hidden_fcs in fp32 (reference anyref.py:394-401)."""
+    h = hidden.astype(jnp.float32)
+    h = jax.nn.relu(linear(params["text_hidden_fcs"]["lin1"], h))
+    return linear(params["text_hidden_fcs"]["lin2"], h)
+
+
+# ---------------------------------------------------------------------------
+# training forward
+# ---------------------------------------------------------------------------
+class TrainOutput(NamedTuple):
+    loss: jax.Array
+    lm_loss: jax.Array
+    bce_loss: jax.Array
+    dice_loss: jax.Array
+    pred_masks: jax.Array        # [B, S, image_size, image_size] logits
+    seg_valid: jax.Array         # [B, S]
+
+
+def train_forward(params: dict, cfg: AnyRefConfig, batch: dict) -> TrainOutput:
+    """One training step forward (reference model_forward_new,
+    anyref.py:239-466).
+
+    batch keys (all fixed-shape):
+      input_ids [B, T], labels [B, T], clip_images [B, 3, 224, 224],
+      sam_images [B, 3, 1024, 1024], gt_masks [B, S, gh, gw] (on the padded
+      1024-canvas grid, see data/collator.py), mask_valid [B, S],
+      optional: ref_images [B, 3, 224, 224] + ref_valid [B],
+                audio_mels [B, 3, 1, 128, 204] + audio_valid [B].
+    """
+    tk = cfg.tokens
+    clip_feats = encode_clip_images(params, cfg, batch["clip_images"])
+    ref_feats = audio_feats = None
+    ref_valid = audio_valid = None
+    if "ref_images" in batch:
+        ref_feats = encode_ref_images(params, cfg, batch["ref_images"])
+        ref_valid = batch.get("ref_valid")
+    if "audio_mels" in batch and cfg.audio is not None:
+        audio_feats = encode_audio(params, cfg, batch["audio_mels"])
+        audio_valid = batch.get("audio_valid")
+
+    embeds, exp_ids, exp_labels = assemble_embeds(
+        params, cfg, batch["input_ids"], clip_feats,
+        ref_feats, ref_valid, audio_feats, audio_valid, batch["labels"])
+
+    hidden = llama.forward(params["llama"], cfg.llama, embeds)
+    lm_logits = llama.logits(params["llama"], hidden)
+    lm_loss = lm_cross_entropy(lm_logits, exp_labels, IGNORE_INDEX)
+
+    # SAM branch — encoder under stop_gradient (frozen + no_grad in reference,
+    # anyref.py:367-368)
+    image_embeddings = jax.lax.stop_gradient(
+        sam_mod.encode_image(params["sam"], batch["sam_images"], cfg.sam))
+
+    seg_pos, seg_valid = _seg_slots(exp_ids, tk.seg, cfg.max_seg_per_sample)
+    B, S = seg_pos.shape
+    hid_idx = jnp.clip(seg_pos - 1, 0, hidden.shape[1] - 1)
+    seg_hidden = jnp.take_along_axis(
+        hidden, hid_idx[:, :, None], axis=1)              # [B, S, D]
+
+    if cfg.rephrase_weight > 0:
+        seg_hidden = seg_hidden + cfg.rephrase_weight * _rephrase_pool(
+            hidden, exp_labels, seg_pos)
+
+    pred_emb = project_seg_hidden(params, seg_hidden)      # [B, S, out_dim]
+
+    if cfg.use_loc_tokens and "loc_boxes" in batch:
+        # mean of 4 loc embeddings per seg slot (reference anyref.py:285-301)
+        loc = params["loc_embeddings"][batch["loc_boxes"]]  # [B, S, 4, out]
+        pred_emb = pred_emb + cfg.loc_weight * loc.mean(axis=2)
+
+    img_index = jnp.arange(B)[:, None].repeat(S, axis=1).reshape(-1)
+    low_res, _ = sam_mod.decode_text_prompts(
+        params["sam"], cfg.sam, image_embeddings,
+        pred_emb.reshape(B * S, -1), img_index)            # [B*S, 1, 4g, 4g]
+
+    # mask losses against gt on the low-res-aligned canvas. gt_masks arrive on
+    # a grid matching 4*embedding grid upsampled canvas (see collator); losses
+    # at 1024 canvas (upscale) in fp32.
+    canvas = sam_mod.upscale_masks(low_res, cfg.sam)        # [B*S, 1, 1024, 1024]
+    canvas = canvas.reshape(B, S, cfg.sam.image_size, cfg.sam.image_size)
+    gt = batch["gt_masks"].astype(jnp.float32)
+    valid = seg_valid & batch["mask_valid"]
+    flat_pred = canvas.reshape(B * S, *canvas.shape[-2:])
+    flat_gt = gt.reshape(B * S, *gt.shape[-2:])
+    flat_valid = valid.reshape(B * S)
+    bce = sigmoid_ce_loss(flat_pred, flat_gt, flat_valid)
+    dce = dice_loss(flat_pred, flat_gt, flat_valid)
+
+    loss = (cfg.ce_loss_weight * lm_loss + cfg.bce_loss_weight * bce
+            + cfg.dice_loss_weight * dce)
+    return TrainOutput(loss, lm_loss, bce, dce, canvas, valid)
+
+
+def _rephrase_pool(hidden: jax.Array, exp_labels: jax.Array,
+                   seg_pos: jax.Array) -> jax.Array:
+    """Rephrase feature (reference anyref.py:372-392): pool answer-span hidden
+    states into the [SEG] state. The reference weights by the last layer's
+    attention probabilities from the [SEG] position; carrying full attention
+    maps out of a fused kernel is hostile to TPU memory, so we use the
+    equivalent-normalization uniform pool over the same span (flagged design
+    change; the learned projection adapts under finetuning).
+    """
+    B, L, D = hidden.shape
+    # answer span: first label position > 0 (reference anyref.py:378) - 1
+    ans_start = jnp.argmax((exp_labels > 0).astype(jnp.int32), axis=1) - 1  # [B]
+    first_seg = seg_pos[:, 0]                                              # [B]
+    j = jnp.arange(L)[None, :]
+    span = (j >= ans_start[:, None]) & (j < first_seg[:, None])
+    w = span.astype(jnp.float32)
+    w = w / jnp.maximum(w.sum(axis=1, keepdims=True), 1.0)
+    pooled = jnp.einsum("bl,bld->bd", w, hidden.astype(jnp.float32))
+    return pooled[:, None, :].astype(hidden.dtype)
+
+
+# ---------------------------------------------------------------------------
+# generation
+# ---------------------------------------------------------------------------
+class GenerateOutput(NamedTuple):
+    """Single stable result structure (fixes reference anyref.py:730/765/822
+    return-arity inconsistency)."""
+    output_ids: jax.Array        # [B, max_new_tokens]
+    num_generated: jax.Array     # [B]
+    mask_canvas: jax.Array       # [B, S, 1024, 1024] logits on padded canvas
+    seg_valid: jax.Array         # [B, S]
+    seg_embeddings: jax.Array    # [B, S, out_dim]
+
+
+def generate(params: dict, cfg: AnyRefConfig, batch: dict,
+             max_new_tokens: Optional[int] = None) -> GenerateOutput:
+    """Greedy decode + SAM mask synthesis (reference anyref.py:647-822).
+
+    batch: input_ids [B, T] (prompt only, right-aligned content with one
+    <image>), prompt_len [B], clip_images, sam_images, optional ref/audio.
+
+    TPU design: prefill and the SAM ViT-H encoder are independent
+    computations; both are dispatched inside one jit so XLA can overlap them
+    (the reference runs them serially, anyref.py:793 after :704).
+    """
+    mnt = max_new_tokens or cfg.max_new_tokens
+    tk = cfg.tokens
+
+    clip_feats = encode_clip_images(params, cfg, batch["clip_images"])
+    ref_feats = audio_feats = None
+    ref_valid = audio_valid = None
+    if "ref_images" in batch:
+        ref_feats = encode_ref_images(params, cfg, batch["ref_images"])
+        ref_valid = batch.get("ref_valid")
+    if "audio_mels" in batch and cfg.audio is not None:
+        audio_feats = encode_audio(params, cfg, batch["audio_mels"])
+        audio_valid = batch.get("audio_valid")
+
+    embeds, exp_ids, _ = assemble_embeds(
+        params, cfg, batch["input_ids"], clip_feats,
+        ref_feats, ref_valid, audio_feats, audio_valid)
+
+    B, Lp, D = embeds.shape
+    cache = llama.init_cache(cfg.llama, B, Lp + mnt, dtype=embeds.dtype)
+    hidden, cache = llama.prefill(params["llama"], cfg.llama, embeds, cache)
+
+    sam_embeddings = sam_mod.encode_image(params["sam"], batch["sam_images"],
+                                          cfg.sam)
+
+    first_logits = llama.logits(params["llama"], hidden[:, -1:])
+    first_tok = jnp.argmax(first_logits[:, 0], axis=-1).astype(jnp.int32)
+
+    eos = 2  # llama </s>
+
+    def step(carry, i):
+        cache, tok, done = carry
+        emb = llama.embed(params["llama"], tok[:, None], dtype=embeds.dtype)
+        h, cache = llama.decode_step(params["llama"], cfg.llama, emb,
+                                     Lp + i, cache)
+        lg = llama.logits(params["llama"], h[:, 0])
+        nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        done_next = done | (tok == eos)
+        nxt = jnp.where(done_next, eos, nxt)
+        return (cache, nxt, done_next), (tok, h[:, 0])
+
+    (cache, _, done), (toks, hiddens) = jax.lax.scan(
+        step, (cache, first_tok, jnp.zeros((B,), bool)), jnp.arange(mnt))
+    output_ids = toks.T                                   # [B, mnt]
+    gen_hidden = hiddens.transpose(1, 0, 2)               # [B, mnt, D]
+    num_generated = jnp.sum(output_ids != eos, axis=1)
+
+    # [SEG] among generated tokens; its hidden state is the state that
+    # *emitted* it: position k-1 in gen_hidden, or the last prefill state for
+    # k = 0 (reference indexes hidden at seg_index+255 over the full expanded
+    # sequence, anyref.py:758 — same state).
+    is_seg = output_ids == tk.seg
+    S = cfg.max_seg_per_sample
+    occ = jnp.cumsum(is_seg.astype(jnp.int32), axis=1) - 1
+    kidx = jnp.arange(mnt)[None, :].repeat(B, axis=0)
+    bidx = jnp.arange(B)[:, None].repeat(mnt, axis=1)
+    slot = jnp.where(is_seg, jnp.clip(occ, 0, S - 1), S)
+    pos = jnp.zeros((B, S + 1), jnp.int32).at[
+        bidx.reshape(-1), slot.reshape(-1)
+    ].max(jnp.where(is_seg, kidx, 0).reshape(-1))[:, :S]
+    count = jnp.sum(is_seg, axis=1)
+    seg_valid = jnp.arange(S)[None, :] < count[:, None]
+
+    all_hidden = jnp.concatenate([hidden[:, -1:], gen_hidden], axis=1)
+    seg_hidden = jnp.take_along_axis(all_hidden, pos[:, :, None], axis=1)
+
+    if cfg.rephrase_weight > 0:
+        # pool over the generated prefix before the first [SEG]
+        j = jnp.arange(mnt + 1)[None, :]
+        span = j < (pos[:, :1] + 1)
+        w = span.astype(jnp.float32) / jnp.maximum(
+            span.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0)
+        pooled = jnp.einsum("bl,bld->bd", w, all_hidden.astype(jnp.float32))
+        seg_hidden = seg_hidden + (cfg.rephrase_weight * pooled[:, None]).astype(seg_hidden.dtype)
+
+    pred_emb = project_seg_hidden(params, seg_hidden)      # [B, S, out]
+    img_index = jnp.arange(B)[:, None].repeat(S, axis=1).reshape(-1)
+    low_res, _ = sam_mod.decode_text_prompts(
+        params["sam"], cfg.sam, sam_embeddings,
+        pred_emb.reshape(B * S, -1), img_index)
+    canvas = sam_mod.upscale_masks(low_res, cfg.sam)
+    canvas = canvas.reshape(B, S, cfg.sam.image_size, cfg.sam.image_size)
+    return GenerateOutput(output_ids, num_generated, canvas, seg_valid, pred_emb)

@@ -1,0 +1,195 @@
+"""LLaMA decoder, TPU-native (the LLaVA-Lightning-7B-v1-1 backbone).
+
+Numerics match HF ``LlamaForCausalLM`` (transformers 4.31 semantics, the
+reference's pinned version): RMSNorm in fp32, rotary embeddings, SiLU MLP.
+The forward here consumes *embeddings* (not ids) because AnyRef splices
+multimodal features into the sequence before the decoder (reference
+anyref.py:341-354 via the missing LLaVA fork).
+
+Design notes (TPU):
+  * bf16 params/activations; embed_tokens / lm_head / norms accumulate fp32
+    (the reference keeps embed_tokens + lm_head fp32, train.py:415-416);
+  * prefill uses the flash/causal attention entry point; decode is a
+    one-token step against a preallocated KV cache (static shapes), driven by
+    lax.scan in the caller;
+  * hidden states returned are post-final-RMSNorm — what the reference's
+    [SEG] extraction consumes (HF hidden_states[-1] is post-norm).
+  * tensor-parallel sharding is annotated externally via
+    anyref_tpu.parallel.partition (heads over the "model" mesh axis).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LlamaConfig
+from ..ops.attention import causal_attention
+from ..ops.common import linear, rms_norm
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [layers, B, kv_heads, max_len, head_dim]
+    v: jax.Array
+
+
+def init(key: jax.Array, cfg: LlamaConfig, dtype=jnp.bfloat16) -> dict:
+    ks = iter(jax.random.split(key, 2 + 8 * cfg.num_layers))
+    d = cfg.hidden_size
+
+    def lin(i, o):
+        return {"w": (jax.random.normal(next(ks), (i, o)) * (i ** -0.5)).astype(dtype)}
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "input_norm": {"scale": jnp.ones((d,), dtype)},
+            "attn": {
+                "q": lin(d, cfg.num_heads * cfg.head_dim),
+                "k": lin(d, cfg.num_kv_heads * cfg.head_dim),
+                "v": lin(d, cfg.num_kv_heads * cfg.head_dim),
+                "o": lin(cfg.num_heads * cfg.head_dim, d),
+            },
+            "post_attn_norm": {"scale": jnp.ones((d,), dtype)},
+            "mlp": {
+                "gate": lin(d, cfg.intermediate_size),
+                "up": lin(d, cfg.intermediate_size),
+                "down": lin(cfg.intermediate_size, d),
+            },
+        })
+    return {
+        "embed_tokens": (jax.random.normal(next(ks), (cfg.padded_vocab_size, d))
+                         * 0.02).astype(jnp.float32),
+        "layers": layers,
+        "final_norm": {"scale": jnp.ones((d,), dtype)},
+        "lm_head": (jax.random.normal(next(ks), (d, cfg.padded_vocab_size))
+                    * 0.02).astype(jnp.float32),
+    }
+
+
+def embed(params: dict, input_ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    return params["embed_tokens"][input_ids].astype(dtype)
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding, HF llama convention (rotate_half over dim halves).
+
+    x: [B, heads, L, hd]; positions: [B, L] or [L].
+    """
+    hd = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    if positions.ndim == 1:
+        positions = positions[None]
+    ang = positions.astype(jnp.float32)[:, None, :, None] * inv_freq  # [B,1,L,hd/2]
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    r1 = xf1 * cos - xf2 * sin
+    r2 = xf2 * cos + xf1 * sin
+    return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
+
+
+def _split_heads(x: jax.Array, n: int, hd: int) -> jax.Array:
+    B, L, _ = x.shape
+    return x.reshape(B, L, n, hd).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    B, n, L, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, L, n * hd)
+
+
+def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
+           kv_slice: Optional[tuple[jax.Array, jax.Array]],
+           write_pos: Optional[jax.Array], kv_len: Optional[jax.Array],
+           q_offset) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
+    h = rms_norm(p["input_norm"], x, eps=cfg.rms_norm_eps)
+    q = _split_heads(linear(p["attn"]["q"], h), cfg.num_heads, cfg.head_dim)
+    k = _split_heads(linear(p["attn"]["k"], h), cfg.num_kv_heads, cfg.head_dim)
+    v = _split_heads(linear(p["attn"]["v"], h), cfg.num_kv_heads, cfg.head_dim)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+
+    new_kv = None
+    if kv_slice is not None:
+        ck, cv = kv_slice  # [B, kvh, max_len, hd]
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, write_pos, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, write_pos, 0))
+        new_kv = (ck, cv)
+        k, v = ck, cv
+
+    if cfg.num_kv_heads != cfg.num_heads:
+        rep = cfg.num_heads // cfg.num_kv_heads
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    attn = causal_attention(q, k, v, q_offset=q_offset, kv_len=kv_len)
+    x = x + linear(p["attn"]["o"], _merge_heads(attn))
+
+    h = rms_norm(p["post_attn_norm"], x, eps=cfg.rms_norm_eps)
+    h = linear(p["mlp"]["down"],
+               jax.nn.silu(linear(p["mlp"]["gate"], h)) * linear(p["mlp"]["up"], h))
+    return x + h, new_kv
+
+
+def forward(params: dict, cfg: LlamaConfig, embeds: jax.Array,
+            positions: Optional[jax.Array] = None,
+            kv_len: Optional[jax.Array] = None) -> jax.Array:
+    """Full-sequence forward (training / no-cache). Returns post-final-norm
+    hidden states [B, L, D]."""
+    B, L, _ = embeds.shape
+    if positions is None:
+        positions = jnp.arange(L)
+    x = embeds
+    for p in params["layers"]:
+        x, _ = _layer(p, cfg, x, positions, None, None, kv_len, q_offset=0)
+    return rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps)
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def prefill(params: dict, cfg: LlamaConfig, embeds: jax.Array,
+            cache: KVCache) -> tuple[jax.Array, KVCache]:
+    """Run the prompt, filling cache positions [0, L). Returns
+    (post-norm hidden [B, L, D], cache)."""
+    B, L, _ = embeds.shape
+    positions = jnp.arange(L)
+    x = embeds
+    ks, vs = [], []
+    for i, p in enumerate(params["layers"]):
+        x, kv = _layer(p, cfg, x, positions, (cache.k[i], cache.v[i]),
+                       jnp.int32(0), None, q_offset=0)
+        ks.append(kv[0])
+        vs.append(kv[1])
+    return (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
+            KVCache(jnp.stack(ks), jnp.stack(vs)))
+
+
+def decode_step(params: dict, cfg: LlamaConfig, embeds: jax.Array,
+                pos: jax.Array, cache: KVCache) -> tuple[jax.Array, KVCache]:
+    """One decode step. embeds: [B, 1, D]; pos: scalar current position.
+    Returns (post-norm hidden [B, 1, D], updated cache)."""
+    x = embeds
+    positions = pos[None] if pos.ndim == 0 else pos
+    ks, vs = [], []
+    kv_len = None
+    for i, p in enumerate(params["layers"]):
+        x, kv = _layer(p, cfg, x, jnp.reshape(pos, (1,)),
+                       (cache.k[i], cache.v[i]), pos, kv_len, q_offset=pos)
+        ks.append(kv[0])
+        vs.append(kv[1])
+    return (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
+            KVCache(jnp.stack(ks), jnp.stack(vs)))
+
+
+def logits(params: dict, hidden: jax.Array) -> jax.Array:
+    """lm_head in fp32 (reference train.py:415-416)."""
+    return jnp.einsum("...d,dv->...v", hidden.astype(jnp.float32),
+                      params["lm_head"], preferred_element_type=jnp.float32)

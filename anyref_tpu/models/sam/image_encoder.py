@@ -1,0 +1,172 @@
+"""SAM ViTDet image encoder, TPU-native.
+
+Functional re-design of the reference encoder
+(model/segment_anything/modeling/image_encoder.py:17-426): windowed attention
+(size 14) with 4 global-attention layers and decomposed relative position
+bias, absolute position embeddings, and a conv neck to 256 channels.
+
+TPU-first choices:
+  * patch embed is a reshape+matmul (16x16 stride-16 conv is non-overlapping),
+    landing directly on the MXU instead of going through a conv lowering;
+  * window partitioning is pure reshape/transpose on [B, H, W, C];
+  * attention runs through a single `attention` entry point that takes
+    precomputed decomposed rel-pos factors (rel_h, rel_w) so the same
+    interface serves the XLA oracle and the Pallas flash kernel;
+  * the conv neck runs in fp32 (the reference guards fp16 overflow there,
+    image_encoder.py:118-124; on TPU we keep the fp32 island).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import SamConfig
+from ...ops.common import conv2d, gelu, layer_norm, layer_norm_2d, linear
+from ...ops.attention import attention_with_decomposed_relpos
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+def init(key: jax.Array, cfg: SamConfig, dtype=jnp.float32) -> dict:
+    d = cfg.encoder_embed_dim
+    grid = cfg.embedding_size
+    mlp = int(d * cfg.mlp_ratio)
+    head_dim = d // cfg.encoder_num_heads
+    ks = iter(jax.random.split(key, 6 + 8 * cfg.encoder_depth))
+
+    def lin(k, i, o, bias=True):
+        p = {"w": (jax.random.normal(k, (i, o)) * (i ** -0.5)).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((o,), dtype)
+        return p
+
+    def ln(dim):
+        return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+    params = {
+        "patch_embed": lin(next(ks), 3 * cfg.patch_size ** 2, d),
+        "pos_embed": jnp.zeros((1, grid, grid, d), dtype),
+        "blocks": [],
+        "neck": {
+            "conv1": {"w": (jax.random.normal(next(ks), (256, d, 1, 1))
+                            * (d ** -0.5)).astype(dtype)},
+            "ln1": ln(256),
+            "conv2": {"w": (jax.random.normal(next(ks), (256, 256, 3, 3))
+                            * (256 * 9) ** -0.5).astype(dtype)},
+            "ln2": ln(256),
+        },
+    }
+    for i in range(cfg.encoder_depth):
+        is_global = i in cfg.encoder_global_attn_indexes
+        size = grid if is_global else cfg.window_size
+        params["blocks"].append({
+            "norm1": ln(d),
+            "attn": {
+                "qkv": lin(next(ks), d, 3 * d),
+                "proj": lin(next(ks), d, d),
+                "rel_pos_h": jnp.zeros((2 * size - 1, head_dim), dtype),
+                "rel_pos_w": jnp.zeros((2 * size - 1, head_dim), dtype),
+            },
+            "norm2": ln(d),
+            "mlp": {"lin1": lin(next(ks), d, mlp), "lin2": lin(next(ks), mlp, d)},
+        })
+    return params
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+def _get_rel_pos_table(size: int, rel_pos: jax.Array) -> jax.Array:
+    """[2*size-1, hd] table -> [q, k, hd] gathered bias factors for q_size ==
+    k_size == size (reference image_encoder.py:321-351; the interpolation
+    branch never triggers because tables are stored at native size)."""
+    coords = np.arange(size)[:, None] - np.arange(size)[None, :] + size - 1
+    return rel_pos[jnp.asarray(coords)]
+
+
+def _attn_block(p, x: jax.Array, num_heads: int, size_hw: tuple[int, int]) -> jax.Array:
+    """Attention over [B, H, W, C] tokens with decomposed rel-pos bias."""
+    B, H, W, C = x.shape
+    head_dim = C // num_heads
+    qkv = linear(p["qkv"], x).reshape(B, H * W, 3, num_heads, head_dim)
+    q, k, v = jnp.moveaxis(qkv, 2, 0)          # [B, HW, heads, hd]
+    q = q.transpose(0, 2, 1, 3)                # [B, heads, HW, hd]
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
+    rh = _get_rel_pos_table(size_hw[0], p["rel_pos_h"])  # [H, H, hd]
+    rw = _get_rel_pos_table(size_hw[1], p["rel_pos_w"])  # [W, W, hd]
+    out = attention_with_decomposed_relpos(q, k, v, rh, rw, size_hw)
+    out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
+    return linear(p["proj"], out)
+
+
+def _window_partition(x: jax.Array, ws: int):
+    """[B, H, W, C] -> [B*nw, ws, ws, C] with zero padding (reference
+    image_encoder.py:263-288)."""
+    B, H, W, C = x.shape
+    pad_h = (ws - H % ws) % ws
+    pad_w = (ws - W % ws) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
+    return x, (Hp, Wp)
+
+
+def _window_unpartition(wins: jax.Array, ws: int, pad_hw, hw):
+    Hp, Wp = pad_hw
+    H, W = hw
+    B = wins.shape[0] // (Hp * Wp // ws // ws)
+    x = wins.reshape(B, Hp // ws, Wp // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W]
+
+
+def _block(p, x: jax.Array, cfg: SamConfig, window: bool) -> jax.Array:
+    shortcut = x
+    x = layer_norm(p["norm1"], x, eps=cfg.layer_norm_eps)
+    if window:
+        H, W = x.shape[1], x.shape[2]
+        x, pad_hw = _window_partition(x, cfg.window_size)
+        x = _attn_block(p["attn"], x, cfg.encoder_num_heads,
+                        (cfg.window_size, cfg.window_size))
+        x = _window_unpartition(x, cfg.window_size, pad_hw, (H, W))
+    else:
+        x = _attn_block(p["attn"], x, cfg.encoder_num_heads,
+                        (x.shape[1], x.shape[2]))
+    x = shortcut + x
+    h = layer_norm(p["norm2"], x, eps=cfg.layer_norm_eps)
+    h = linear(p["mlp"]["lin2"], gelu(linear(p["mlp"]["lin1"], h)))
+    return x + h
+
+
+def patch_embed(p, x: jax.Array, patch: int) -> jax.Array:
+    """[B, 3, H, W] -> [B, H/ps, W/ps, D] via reshape+matmul."""
+    B, C, H, W = x.shape
+    gh, gw = H // patch, W // patch
+    x = x.reshape(B, C, gh, patch, gw, patch)
+    # flatten (c, kh, kw) in torch-conv order so OIHW weights convert directly
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, gh, gw, C * patch * patch)
+    return linear(p, x)
+
+
+def apply(params: dict, x: jax.Array, cfg: SamConfig) -> jax.Array:
+    """[B, 3, image_size, image_size] normalized pixels -> [B, 256, grid, grid]
+    image embeddings (reference image_encoder.py:110-125)."""
+    x = patch_embed(params["patch_embed"], x, cfg.patch_size)
+    x = x + params["pos_embed"].astype(x.dtype)
+    for i, bp in enumerate(params["blocks"]):
+        x = _block(bp, x, cfg, window=i not in cfg.encoder_global_attn_indexes)
+    # fp32 island for the neck (reference image_encoder.py:118-124)
+    y = x.astype(jnp.float32).transpose(0, 3, 1, 2)
+    y = conv2d(params["neck"]["conv1"],
+               y.astype(jnp.float32), padding="VALID")
+    y = layer_norm_2d(params["neck"]["ln1"], y, eps=cfg.layer_norm_eps)
+    y = conv2d(params["neck"]["conv2"], y, padding=((1, 1), (1, 1)))
+    y = layer_norm_2d(params["neck"]["ln2"], y, eps=cfg.layer_norm_eps)
+    return y.astype(x.dtype)

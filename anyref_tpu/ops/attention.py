@@ -1,0 +1,89 @@
+"""Attention entry points.
+
+Two tiers, one signature:
+  * XLA oracle implementations (this file) — correctness reference, used in
+    tests and as fallback;
+  * Pallas flash kernels (anyref_tpu/ops/flash.py) — the production path for
+    the hot shapes (SAM global 4096-token attention with rel-pos bias, LLaMA
+    causal prefill), selected via `use_flash`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import flash as _flash
+
+# Toggled by tests / small-shape callers; real entry points pass explicitly.
+_INTERPRET = False
+
+
+def attention_with_decomposed_relpos(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    rel_h_table: jax.Array, rel_w_table: jax.Array,
+    size_hw: tuple[int, int],
+    use_flash: bool = True,
+) -> jax.Array:
+    """SAM ViTDet attention with decomposed relative position bias
+    (reference image_encoder.py:235-260, 354-392).
+
+    q, k, v: [B, heads, H*W, head_dim]; rel_*_table: [S, S, head_dim] gathered
+    tables; bias[q, k] = q . rel_h[qh, kh] + q . rel_w[qw, kw].
+    Softmax in fp32.
+    """
+    H, W = size_hw
+    B, nh, L, hd = q.shape
+    scale = hd ** -0.5
+
+    if use_flash and _flash.supported_relpos(H, W, hd):
+        return _flash.flash_relpos_attention(q, k, v, rel_h_table, rel_w_table,
+                                             size_hw, interpret=_INTERPRET)
+
+    qg = q.reshape(B, nh, H, W, hd)
+    rel_h = jnp.einsum("bnhwc,hkc->bnhwk", qg, rel_h_table.astype(q.dtype),
+                       preferred_element_type=jnp.float32)
+    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", qg, rel_w_table.astype(q.dtype),
+                       preferred_element_type=jnp.float32)
+    logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits.reshape(B, nh, H, W, H, W)
+    logits = logits + rel_h[..., :, None] + rel_w[..., None, :]
+    logits = logits.reshape(B, nh, L, L)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bnqk,bnkd->bnqd", probs, v,
+                      preferred_element_type=v.dtype)
+
+
+def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     q_offset: int | jax.Array = 0,
+                     kv_len: jax.Array | None = None,
+                     use_flash: bool = True) -> jax.Array:
+    """Causal (prefill or single-step decode) attention.
+
+    q: [B, heads, Lq, hd]; k/v: [B, heads, Lk, hd]. Query position i attends
+    to key positions <= i + q_offset. `kv_len` optionally masks trailing
+    (padded) kv positions per batch element.
+    """
+    B, nh, Lq, hd = q.shape
+    Lk = k.shape[2]
+    scale = hd ** -0.5
+
+    if (use_flash and Lq > 1 and kv_len is None
+            and _flash.supported_causal(Lq, Lk, hd)):
+        return _flash.flash_causal_attention(q, k, v, interpret=_INTERPRET)
+
+    logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    qpos = jnp.arange(Lq)[:, None] + q_offset
+    kpos = jnp.arange(Lk)[None, :]
+    mask = kpos <= qpos                                 # [Lq, Lk]
+    if kv_len is not None:
+        mask = mask[None] & (kpos[None] < kv_len[:, None, None])  # [B, Lq, Lk]
+        mask = mask[:, None]
+    else:
+        mask = mask[None, None]
+    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bnqk,bnkd->bnqd", probs, v,
+                      preferred_element_type=v.dtype)

@@ -1,0 +1,108 @@
+"""Shared functional NN primitives.
+
+Parameter convention: nested dicts of jnp arrays.
+  linear: {"w": [in, out], "b": [out]?}         (torch stores [out, in]; the
+                                                 checkpoint converter transposes)
+  layer_norm: {"scale": [d], "bias": [d]}
+  conv: {"w": [out, in, kh, kw], "b": [out]?}   (torch OIHW layout kept verbatim)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def linear(p, x: jax.Array) -> jax.Array:
+    y = jnp.einsum("...i,io->...o", x, p["w"],
+                   preferred_element_type=x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def layer_norm(p, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """LayerNorm over the last dim, moments in fp32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm_2d(p, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Channel-wise LayerNorm for NCHW tensors (reference
+    segment_anything/modeling/common.py:28-43)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32)[:, None, None] \
+        + p["bias"].astype(jnp.float32)[:, None, None]
+    return y.astype(x.dtype)
+
+
+def rms_norm(p, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
+
+
+def conv2d(p, x: jax.Array, stride=(1, 1), padding="VALID") -> jax.Array:
+    """NCHW conv with torch-layout OIHW weights."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=stride, padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)[None, :, None, None]
+    return y
+
+
+def conv2d_transpose(p, x: jax.Array, stride: int) -> jax.Array:
+    """ConvTranspose2d with kernel_size == stride (SAM upscaling deconvs,
+    reference mask_decoder.py:53-63). Non-overlapping, so it is exactly a
+    matmul + depth-to-space. torch weight layout: [in, out, kh, kw]."""
+    w = p["w"].astype(x.dtype)  # [in, out, k, k]
+    cin, cout, k, _ = w.shape
+    b, c, h, wdt = x.shape
+    # [B, H, W, in] @ [in, out*k*k]
+    y = jnp.einsum("bchw,cokl->bhwokl", x, w, preferred_element_type=x.dtype)
+    y = y.transpose(0, 3, 1, 4, 2, 5).reshape(b, cout, h * k, wdt * k)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)[None, :, None, None]
+    return y
+
+
+def mha(q: jax.Array, k: jax.Array, v: jax.Array,
+        bias: jax.Array | None = None,
+        mask: jax.Array | None = None,
+        scale: float | None = None) -> jax.Array:
+    """Reference multi-head attention; q/k/v: [..., heads, len, head_dim].
+
+    Softmax in fp32. The Pallas flash path replaces this for the hot shapes;
+    this XLA version is the numerics oracle and the fallback.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("...qk,...kd->...qd", probs.astype(v.dtype), v,
+                      preferred_element_type=v.dtype)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU, matching torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """CLIP / ImageBind QuickGELU: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)

@@ -1,0 +1,115 @@
+"""Bilinear resize as MXU matmuls, matching torch.nn.functional.interpolate
+(mode="bilinear", align_corners=False) exactly.
+
+The reference pipeline resizes in four places:
+  * dataset: longest-side-1024 resize of the raw image (ResizeLongestSide,
+    reference utils/transforms.py:27-34, PIL bilinear)
+  * dataset: CLIP 224x224 force-resize (utils/coco_instance.py:409-415)
+  * model: postprocess_masks 256->1024 -> crop -> original size
+    (segment_anything/modeling/sam.py:137-172)
+  * model: AVS pred-vs-gt size alignment (anyref.py:438-442)
+
+On TPU, a separable bilinear resize is two small dense matmuls (one per axis),
+which XLA maps straight onto the MXU — far better than gather-based sampling.
+Weight matrices depend only on (in_size, out_size), both static under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=512)
+def _bilinear_weight_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Rows: output pixels; columns: input pixels. At most 2 nonzeros per row.
+
+    Matches pytorch's area_pixel_compute_source_index with align_corners=False:
+      src = max(0, scale * (dst + 0.5) - 0.5)
+    """
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    # float32 coordinate arithmetic, exactly like torch's CPU/CUDA kernels
+    # (area_pixel_compute_source_index with scalar_t = float)
+    scale = np.float32(in_size) / np.float32(out_size)
+    dst = np.arange(out_size, dtype=np.float32)
+    src = np.maximum(scale * (dst + np.float32(0.5)) - np.float32(0.5),
+                     np.float32(0.0))
+    x0 = np.floor(src).astype(np.int64)
+    x0 = np.minimum(x0, in_size - 1)
+    x1 = np.minimum(x0 + 1, in_size - 1)
+    lam = (src - x0.astype(np.float32)).astype(np.float64)
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    rows = np.arange(out_size)
+    np.add.at(w, (rows, x0), 1.0 - lam)
+    np.add.at(w, (rows, x1), lam)
+    return w.astype(np.float32)
+
+
+def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Resize the last two dims of ``x`` ([..., H, W]) with torch
+    align_corners=False bilinear semantics. Computed in fp32."""
+    h, w = x.shape[-2], x.shape[-1]
+    wh = jnp.asarray(_bilinear_weight_matrix(h, out_h))
+    ww = jnp.asarray(_bilinear_weight_matrix(w, out_w))
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    # [..., H, W] @ [W, out_w] -> [..., H, out_w]; HIGHEST precision: resize
+    # exactness feeds directly into mask IoU parity.
+    x = jnp.einsum("...hw,vw->...hv", x, ww,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("...hv,uh->...uv", x, wh,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return x.astype(orig_dtype)
+
+
+def resize_bilinear_np(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Host-side variant for per-image original-size restoration (dynamic
+    output shapes live outside jit)."""
+    wh = _bilinear_weight_matrix(x.shape[-2], out_h)
+    ww = _bilinear_weight_matrix(x.shape[-1], out_w)
+    x = x.astype(np.float32)
+    x = np.einsum("...hw,vw->...hv", x, ww)
+    x = np.einsum("...hv,uh->...uv", x, wh)
+    return x
+
+
+def get_preprocess_shape(old_h: int, old_w: int, long_side: int) -> tuple[int, int]:
+    """Longest-side target shape (reference utils/transforms.py:102-113)."""
+    scale = long_side / max(old_h, old_w)
+    new_h, new_w = old_h * scale, old_w * scale
+    return int(new_h + 0.5), int(new_w + 0.5)
+
+
+def sam_normalize_pad(x: jax.Array, image_size: int,
+                      pixel_mean, pixel_std) -> jax.Array:
+    """Normalize and bottom/right zero-pad to ``image_size`` square.
+
+    Mirrors the dataset-side sam_preprocess (reference
+    utils/coco_instance.py:383-393). ``x``: [..., 3, H, W] float RGB in 0..255.
+    """
+    mean = jnp.asarray(pixel_mean, dtype=x.dtype).reshape(-1, 1, 1)
+    std = jnp.asarray(pixel_std, dtype=x.dtype).reshape(-1, 1, 1)
+    x = (x - mean) / std
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, image_size - h), (0, image_size - w)]
+    return jnp.pad(x, pad)
+
+
+def postprocess_masks_fixed(masks: jax.Array, image_size: int) -> jax.Array:
+    """Stage 1 of SAM postprocess: low-res logits -> image_size^2 canvas
+    (reference sam.py:161-166). Crop + original-size resize are host-side
+    (dynamic shapes)."""
+    return resize_bilinear(masks, image_size, image_size)
+
+
+def postprocess_masks_np(low_or_canvas: np.ndarray, input_size: tuple[int, int],
+                         original_size: tuple[int, int]) -> np.ndarray:
+    """Stage 2: crop padded region, resize to original (reference sam.py:168-171)."""
+    m = low_or_canvas[..., : input_size[0], : input_size[1]]
+    return resize_bilinear_np(m, original_size[0], original_size[1])

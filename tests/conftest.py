@@ -1,0 +1,72 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths are
+exercised without TPU hardware (SURVEY.md §4: multi-device tests on CPU
+device-count simulation).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment's sitecustomize registers the axon TPU PJRT plugin in every
+# interpreter and pins jax_platforms=axon; override back to CPU *after* jax
+# import so tests never contend for the single TPU tunnel.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _stub_missing_modules():
+    """The reference imports torchvision/ftfy at module import time; neither
+    is installed. Golden-parity tests only exercise pure-torch modeling code,
+    so stub the imports."""
+    import types
+    names = ("torchvision", "torchvision.ops", "torchvision.ops.boxes",
+             "torchvision.transforms", "torchvision.transforms.functional",
+             "ftfy", "regex", "timm", "timm.models", "timm.models.layers")
+    for name in names:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = []  # mark as package so submodule imports resolve
+            sys.modules[name] = mod
+            parent, _, child = name.rpartition(".")
+            if parent:
+                setattr(sys.modules[parent], child, mod)
+    sys.modules["torchvision.ops.boxes"].batched_nms = None
+    sys.modules["torchvision.ops.boxes"].box_area = None
+    sys.modules["torchvision.transforms.functional"].resize = None
+    sys.modules["torchvision.transforms.functional"].to_pil_image = None
+
+    # timm layers used by ImageBind transformer (frozen/eval => identity)
+    import torch as _torch
+
+    class _DropPath(_torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    def _trunc_normal_(t, std=1.0, **k):
+        with _torch.no_grad():
+            t.normal_(0, std)
+        return t
+
+    sys.modules["timm.models.layers"].DropPath = _DropPath
+    sys.modules["timm.models.layers"].trunc_normal_ = _trunc_normal_
+
+
+def reference_on_path():
+    """Make /root/reference importable (guarded: read-only usage)."""
+    _stub_missing_modules()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
