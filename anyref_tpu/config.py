@@ -226,5 +226,7 @@ def anyref_tiny() -> AnyRefConfig:
         audio=ImageBindAudioConfig(embed_dim=32, num_blocks=2, num_heads=2,
                                    out_embed_dim=48),
         out_dim=32,
-        max_text_len=128,
+        # byte-fallback tokenizer yields ~1 token/char; keep room for the
+        # full system prompt + question + answer
+        max_text_len=384,
     )

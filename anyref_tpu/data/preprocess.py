@@ -1,0 +1,84 @@
+"""Image/audio preprocessing.
+
+Replaces the reference's PIL/cv2/torchvision/torchaudio pipeline
+(utils/coco_instance.py:403-421, segment_anything/utils/transforms.py:27-34,
+ImageBind data.py:28-64) with resize-as-matmul numpy (host pipeline) and the
+same ops as jnp (on-device serving path). Both share the exact bilinear
+semantics of ops/resize.py.
+
+Host pipeline outputs per image:
+  clip_image [3, 224, 224] float32 (CLIP-normalized, force-resize — the
+      reference's clip_resize_wo_crop=True path)
+  sam_image  [3, 1024, 1024] float32 (SAM-normalized, longest-side-1024 +
+      bottom/right zero pad)
+  sam_resized_size (h, w) valid extent on the SAM canvas
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SAM_PIXEL_MEAN, SAM_PIXEL_STD
+from ..models.clip_vit import CLIP_PIXEL_MEAN, CLIP_PIXEL_STD
+from ..ops.resize import get_preprocess_shape, resize_bilinear_np
+
+
+def preprocess_clip_np(image_rgb_u8: np.ndarray, size: int = 224) -> np.ndarray:
+    """[H, W, 3] uint8 -> [3, size, size] CLIP-normalized float32.
+
+    Matches CLIPImageProcessor(do_center_crop=False) + bilinear force-resize
+    (reference utils/coco_instance.py:406-415): HF resizes shortest side to
+    224 then the reference force-resizes to 224x224; the composition equals a
+    direct force-resize up to resampling error, so we do one resize.
+    """
+    x = image_rgb_u8.astype(np.float32).transpose(2, 0, 1)  # [3, H, W]
+    x = resize_bilinear_np(x, size, size)
+    mean = np.asarray(CLIP_PIXEL_MEAN, np.float32).reshape(3, 1, 1)
+    std = np.asarray(CLIP_PIXEL_STD, np.float32).reshape(3, 1, 1)
+    return ((x / 255.0) - mean) / std
+
+
+def preprocess_sam_np(image_rgb_u8: np.ndarray,
+                      image_size: int = 1024) -> tuple[np.ndarray, tuple[int, int]]:
+    """[H, W, 3] uint8 -> ([3, S, S] normalized+padded float32, (h', w'))."""
+    h, w = image_rgb_u8.shape[:2]
+    nh, nw = get_preprocess_shape(h, w, image_size)
+    x = image_rgb_u8.astype(np.float32).transpose(2, 0, 1)
+    x = resize_bilinear_np(x, nh, nw)
+    mean = np.asarray(SAM_PIXEL_MEAN, np.float32).reshape(3, 1, 1)
+    std = np.asarray(SAM_PIXEL_STD, np.float32).reshape(3, 1, 1)
+    x = (x - mean) / std
+    out = np.zeros((3, image_size, image_size), np.float32)
+    out[:, :nh, :nw] = x
+    return out, (nh, nw)
+
+
+def mask_to_canvas_np(mask: np.ndarray, resized_hw: tuple[int, int],
+                      image_size: int = 1024) -> np.ndarray:
+    """GT mask [H, W] {0,1} -> float32 [S, S] canvas aligned with the SAM
+    frame (nearest resize + pad). Loss-domain note: the reference computes
+    mask losses at the original resolution after postprocess
+    (anyref.py:425-445); we compute them on the shared canvas with the padded
+    region masked out — same optimum, one static shape."""
+    nh, nw = resized_hw
+    H, W = mask.shape
+    ys = np.minimum((np.arange(nh) + 0.5) * H / nh, H - 1).astype(np.int64)
+    xs = np.minimum((np.arange(nw) + 0.5) * W / nw, W - 1).astype(np.int64)
+    out = np.zeros((image_size, image_size), np.float32)
+    out[:nh, :nw] = mask[ys][:, xs].astype(np.float32)
+    return out
+
+
+def crop_box_np(image_rgb_u8: np.ndarray, xyxy: np.ndarray,
+                mask: np.ndarray | None = None) -> np.ndarray:
+    """Reference-crop extraction for the image-reference pathway
+    (reference utils/coco_instance.py:670-683: bbox crop, optional
+    mask-multiply)."""
+    x1, y1, x2, y2 = [int(round(float(v))) for v in xyxy]
+    x1, y1 = max(x1, 0), max(y1, 0)
+    x2 = min(max(x2, x1 + 1), image_rgb_u8.shape[1])
+    y2 = min(max(y2, y1 + 1), image_rgb_u8.shape[0])
+    crop = image_rgb_u8[y1:y2, x1:x2]
+    if mask is not None:
+        crop = crop * mask[y1:y2, x1:x2, None].astype(crop.dtype)
+    return crop

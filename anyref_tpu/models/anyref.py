@@ -284,11 +284,20 @@ def train_forward(params: dict, cfg: AnyRefConfig, batch: dict) -> TrainOutput:
     canvas = canvas.reshape(B, S, cfg.sam.image_size, cfg.sam.image_size)
     gt = batch["gt_masks"].astype(jnp.float32)
     valid = seg_valid & batch["mask_valid"]
-    flat_pred = canvas.reshape(B * S, *canvas.shape[-2:])
-    flat_gt = gt.reshape(B * S, *gt.shape[-2:])
+    # in-image pixel mask (excludes the bottom/right canvas padding; the
+    # reference instead crops before the loss, sam.py:168-171)
+    sizes = batch["sam_resized_sizes"]                      # [B, 2]
+    g = cfg.sam.image_size
+    rows = jnp.arange(g)[None, :, None] < sizes[:, 0][:, None, None]
+    cols = jnp.arange(g)[None, None, :] < sizes[:, 1][:, None, None]
+    pixel_mask = (rows & cols)[:, None]                     # [B, 1, g, g]
+    pixel_mask = jnp.broadcast_to(pixel_mask, canvas.shape)
+    flat_pred = canvas.reshape(B * S, g, g)
+    flat_gt = gt.reshape(B * S, g, g)
     flat_valid = valid.reshape(B * S)
-    bce = sigmoid_ce_loss(flat_pred, flat_gt, flat_valid)
-    dce = dice_loss(flat_pred, flat_gt, flat_valid)
+    flat_px = pixel_mask.reshape(B * S, g, g)
+    bce = sigmoid_ce_loss(flat_pred, flat_gt, flat_valid, flat_px)
+    dce = dice_loss(flat_pred, flat_gt, flat_valid, flat_px)
 
     loss = (cfg.ce_loss_weight * lm_loss + cfg.bce_loss_weight * bce
             + cfg.dice_loss_weight * dce)

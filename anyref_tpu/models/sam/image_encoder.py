@@ -51,12 +51,13 @@ def init(key: jax.Array, cfg: SamConfig, dtype=jnp.float32) -> dict:
         "pos_embed": jnp.zeros((1, grid, grid, d), dtype),
         "blocks": [],
         "neck": {
-            "conv1": {"w": (jax.random.normal(next(ks), (256, d, 1, 1))
+            "conv1": {"w": (jax.random.normal(next(ks), (cfg.prompt_embed_dim, d, 1, 1))
                             * (d ** -0.5)).astype(dtype)},
-            "ln1": ln(256),
-            "conv2": {"w": (jax.random.normal(next(ks), (256, 256, 3, 3))
-                            * (256 * 9) ** -0.5).astype(dtype)},
-            "ln2": ln(256),
+            "ln1": ln(cfg.prompt_embed_dim),
+            "conv2": {"w": (jax.random.normal(
+                next(ks), (cfg.prompt_embed_dim, cfg.prompt_embed_dim, 3, 3))
+                * (cfg.prompt_embed_dim * 9) ** -0.5).astype(dtype)},
+            "ln2": ln(cfg.prompt_embed_dim),
         },
     }
     for i in range(cfg.encoder_depth):

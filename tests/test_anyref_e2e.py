@@ -1,0 +1,144 @@
+"""End-to-end smoke tests on the tiny preset: tokenizer -> collator ->
+train_forward / generate, all static-shape, jitted."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anyref_tpu.config import anyref_tiny
+from anyref_tpu.models import anyref
+from anyref_tpu.tokenizer import AnyRefTokenizer, seg_answer, seg_question, \
+    audio_ref_question, img_ref_question
+from anyref_tpu.data.collator import Collator
+
+
+CFG = anyref_tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
+
+
+def _fake_instance(rng, question, answer, with_ref=False, with_audio=False):
+    inst = {
+        "clip_image": rng.standard_normal(
+            (3, CFG.clip.image_size, CFG.clip.image_size)).astype(np.float32),
+        "sam_image": rng.standard_normal(
+            (3, CFG.sam.image_size, CFG.sam.image_size)).astype(np.float32),
+        "sam_resized_size": (CFG.sam.image_size, CFG.sam.image_size * 3 // 4),
+        "question": question,
+        "answer": answer,
+        "gt_masks": (rng.random((2, 48, 36)) > 0.5).astype(np.uint8),
+        "height": 48, "width": 36, "file_name": "fake.jpg",
+    }
+    if with_ref:
+        inst["ref_image"] = rng.standard_normal(
+            (3, CFG.clip.image_size, CFG.clip.image_size)).astype(np.float32)
+    if with_audio:
+        a = CFG.audio
+        inst["audio_mels"] = rng.standard_normal(
+            (a.clips_per_audio, 1, a.mel_bins, a.target_len)).astype(np.float32)
+    return inst
+
+
+def test_tokenizer_roundtrip():
+    tok = AnyRefTokenizer()
+    text = ("<image>\nCan you segment object with the following audio "
+            "<audio_ref_start><audio_ref><audio_ref><audio_ref><audio_ref_end>"
+            " in this image? it is [SEG].</s>")
+    ids = tok.encode(text)
+    assert ids[0] == 1  # BOS
+    assert ids.count(CFG.tokens.audio_ref) == 3
+    assert ids.count(CFG.tokens.seg) == 1
+    assert ids[-1] == 2  # EOS
+    assert tok.decode(ids[1:]) == text
+
+
+def test_label_masking():
+    from anyref_tpu.tokenizer import tokenize_conversation
+    from anyref_tpu.config import IGNORE_INDEX
+    tok = AnyRefTokenizer()
+    tc = tokenize_conversation(tok, seg_question("a cat"), seg_answer("cat"))
+    assert (tc.labels[:tc.prompt_len] == IGNORE_INDEX).all()
+    sup = tc.input_ids[tc.labels != IGNORE_INDEX]
+    # supervised span must contain [SEG] and EOS, no image tokens
+    assert CFG.tokens.seg in sup
+    assert 2 in sup
+    assert CFG.tokens.image not in sup
+
+
+def test_train_forward(params):
+    rng = np.random.default_rng(0)
+    tok = AnyRefTokenizer()
+    col = Collator(tok, CFG, train=True)
+    insts = [
+        _fake_instance(rng, seg_question("a cat"), seg_answer("cat")),
+        _fake_instance(rng, seg_question("a dog on the left"),
+                       seg_answer("dog", itisseg=True)),
+    ]
+    batch = col(insts)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+              if not k.startswith("_")}
+    out = jax.jit(anyref.train_forward, static_argnums=1)(params, CFG, jbatch)
+    assert np.isfinite(float(out.loss))
+    assert np.isfinite(float(out.lm_loss))
+    assert np.isfinite(float(out.bce_loss))
+    assert np.isfinite(float(out.dice_loss))
+    # both samples have exactly one [SEG] answer -> one valid slot each
+    assert np.asarray(out.seg_valid).sum() == 2
+
+
+def test_train_forward_multimodal(params):
+    rng = np.random.default_rng(1)
+    tok = AnyRefTokenizer()
+    col = Collator(tok, CFG, train=True)
+    insts = [
+        _fake_instance(rng, img_ref_question(), seg_answer("", itisseg=True),
+                       with_ref=True),
+        _fake_instance(rng, audio_ref_question(), seg_answer("", itisseg=True),
+                       with_audio=True),
+    ]
+    batch = col(insts)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+              if not k.startswith("_")}
+    out = anyref.train_forward(params, CFG, jbatch)
+    assert np.isfinite(float(out.loss))
+
+
+def test_generate(params):
+    rng = np.random.default_rng(2)
+    tok = AnyRefTokenizer()
+    col = Collator(tok, CFG, train=False)
+    insts = [_fake_instance(rng, seg_question("a cat"), None)]
+    batch = col(insts)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+              if not k.startswith("_")}
+    # prompt-only: trim to actual prompt length (single sample)
+    plen = int(batch["prompt_lens"][0])
+    jbatch["input_ids"] = jbatch["input_ids"][:, :plen]
+    del jbatch["labels"], jbatch["gt_masks"], jbatch["mask_valid"]
+    out = jax.jit(anyref.generate, static_argnums=(1, 3))(
+        params, CFG, jbatch, 8)
+    assert out.output_ids.shape == (1, 8)
+    assert out.mask_canvas.shape == (1, CFG.max_seg_per_sample,
+                                     CFG.sam.image_size, CFG.sam.image_size)
+    # random weights: [SEG] may or may not be emitted; structure must hold
+    assert out.seg_valid.shape == (1, CFG.max_seg_per_sample)
+
+
+def test_seg_slot_extraction():
+    from anyref_tpu.models.anyref import _seg_slots
+    seg = CFG.tokens.seg
+    ids = np.array([
+        [5, seg, 7, 8, seg, 9],
+        [5, 6, 7, 8, 9, 10],
+        [seg, seg, seg, 1, 2, seg],
+    ], np.int32)
+    pos, valid = _seg_slots(jnp.asarray(ids), seg, 4)
+    pos, valid = np.asarray(pos), np.asarray(valid)
+    assert pos[0, :2].tolist() == [1, 4] and valid[0].tolist() == [True, True, False, False]
+    assert valid[1].sum() == 0
+    assert pos[2, :4].tolist() == [0, 1, 2, 5] and valid[2].all()
