@@ -1,0 +1,64 @@
+"""Parameter partition specs (GSPMD sharding annotations).
+
+Megatron-style tensor parallelism for the LLaMA decoder over the "model"
+axis: q/k/v and gate/up shard their *output* features (head dim), o and down
+shard their *input* features, so each block needs exactly one all-reduce
+after attention and one after the MLP — both inserted automatically by XLA
+from these annotations. Embedding/lm_head shard the vocab dim. Vision towers
+(SAM/CLIP/ImageBind) are small relative to the decoder and replicate; their
+batch dimension shards over "data" via the batch specs.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _llama_layer_spec() -> dict:
+    col = {"w": P(None, MODEL_AXIS)}   # output-feature sharded
+    row = {"w": P(MODEL_AXIS, None)}   # input-feature sharded
+    return {
+        "input_norm": {"scale": P()},
+        "attn": {"q": dict(col), "k": dict(col), "v": dict(col), "o": dict(row)},
+        "post_attn_norm": {"scale": P()},
+        "mlp": {"gate": dict(col), "up": dict(col), "down": dict(row)},
+    }
+
+
+def llama_spec(num_layers: int) -> dict:
+    return {
+        "embed_tokens": P(MODEL_AXIS, None),
+        "layers": [_llama_layer_spec() for _ in range(num_layers)],
+        "final_norm": {"scale": P()},
+        "lm_head": P(None, MODEL_AXIS),
+    }
+
+
+def _replicate_like(tree):
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def anyref_spec(params: dict, cfg) -> dict:
+    """Partition specs mirroring an anyref param tree."""
+    spec = {k: _replicate_like(v) for k, v in params.items() if k != "llama"}
+    spec["llama"] = llama_spec(cfg.llama.num_layers)
+    return spec
+
+
+def batch_spec(batch: dict) -> dict:
+    """Shard every batch array's leading (batch) dim over "data"."""
+    return {k: P(DATA_AXIS) for k in batch}
+
+
+def lora_spec(lora_tree) -> dict:
+    """LoRA adapters are tiny; a: [d, r] replicated, b: [r, out] sharded on
+    out to match the base layer's column sharding."""
+    def leaf(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "b":
+            return P(None, MODEL_AXIS)
+        return P()
+    return jax.tree_util.tree_map_with_path(leaf, lora_tree)

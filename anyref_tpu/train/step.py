@@ -1,0 +1,100 @@
+"""pjit training step.
+
+Replaces the reference's HF Trainer + accelerate/DeepSpeed stack
+(train.py:421-430, train.sh) with a single jitted SPMD step over the
+("data", "model") mesh: batch shards on "data", decoder weights on "model";
+XLA inserts the gradient all-reduces (the reference's NCCL DDP) from the
+sharding annotations alone.
+
+Optimizer: AdamW + linear warmup/decay (train.sh:8-12 — lr 5e-5, 200 warmup,
+10k steps). Trainables: LoRA(q,v) + the reference's modules_to_save set
+(lora.py). Remat wraps the decoder forward (the reference's
+gradient_checkpointing_enable, train.py:340).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import AnyRefConfig
+from ..models import anyref
+from ..parallel.mesh import DATA_AXIS
+from . import lora as lora_mod
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    lora: dict
+    dense: dict         # trainable dense subtree (modules_to_save)
+    opt_state: optax.OptState
+
+
+def make_optimizer(lr: float = 5e-5, warmup: int = 200,
+                   total_steps: int = 10_000,
+                   weight_decay: float = 0.0,
+                   grad_clip: float | None = 1.0) -> optax.GradientTransformation:
+    sched = optax.join_schedules([
+        optax.linear_schedule(0.0, lr, warmup),
+        optax.linear_schedule(lr, 0.0, total_steps - warmup),
+    ], [warmup])
+    txs = []
+    if grad_clip:
+        txs.append(optax.clip_by_global_norm(grad_clip))
+    txs.append(optax.adamw(sched, weight_decay=weight_decay))
+    return optax.chain(*txs)
+
+
+def init_state(key: jax.Array, params: dict, lora_cfg: lora_mod.LoraConfig,
+               optimizer: optax.GradientTransformation) -> tuple[TrainState, dict]:
+    """Returns (state, frozen_params)."""
+    lora_params = lora_mod.init(key, params["llama"], lora_cfg)
+    dense, frozen = lora_mod.split_trainable(params)
+    opt_state = optimizer.init((lora_params, dense))
+    return TrainState(jnp.zeros((), jnp.int32), lora_params, dense,
+                      opt_state), frozen
+
+
+def loss_fn(lora_params: dict, dense: dict, frozen: dict,
+            cfg: AnyRefConfig, lora_cfg: lora_mod.LoraConfig, batch: dict):
+    params = lora_mod.merge_params(dense, frozen)
+    params = {**params,
+              "llama": lora_mod.apply(params["llama"], lora_params, lora_cfg)}
+    out = anyref.train_forward(params, cfg, batch)
+    metrics = {"lm_loss": out.lm_loss, "bce_loss": out.bce_loss,
+               "dice_loss": out.dice_loss, "loss": out.loss}
+    return out.loss, metrics
+
+
+def make_train_step(cfg: AnyRefConfig, lora_cfg: lora_mod.LoraConfig,
+                    optimizer: optax.GradientTransformation,
+                    remat: bool = True):
+    lf = loss_fn
+    if remat:
+        lf = jax.checkpoint(
+            functools.partial(loss_fn),
+            static_argnums=(3, 4),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+    def train_step(state: TrainState, frozen: dict, batch: dict):
+        (loss, metrics), grads = jax.value_and_grad(
+            lf, argnums=(0, 1), has_aux=True)(
+            state.lora, state.dense, frozen, cfg, lora_cfg, batch)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, (state.lora, state.dense))
+        new_lora, new_dense = optax.apply_updates(
+            (state.lora, state.dense), updates)
+        new_state = TrainState(state.step + 1, new_lora, new_dense, opt_state)
+        return new_state, metrics
+
+    return train_step
+
+
+def device_batch(batch: dict) -> dict:
+    """Drop host-only keys (leading underscore) before feeding jit."""
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if not k.startswith("_")}
