@@ -103,9 +103,14 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 
 
 def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
-           kv_slice: Optional[tuple[jax.Array, jax.Array]],
-           write_pos: Optional[jax.Array], kv_len: Optional[jax.Array],
-           q_offset) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
+           mode: str,
+           kv_slice: Optional[tuple[jax.Array, jax.Array]] = None,
+           write_pos: Optional[jax.Array] = None,
+           kv_len: Optional[jax.Array] = None,
+           ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
+    """mode: "full" (training, no cache), "prefill" (fill cache, attend over
+    the fresh prompt keys — keeps the flash path), "decode" (one step
+    against the cache)."""
     h = rms_norm(p["input_norm"], x, eps=cfg.rms_norm_eps)
     q = _split_heads(linear(p["attn"]["q"], h), cfg.num_heads, cfg.head_dim)
     k = _split_heads(linear(p["attn"]["k"], h), cfg.num_kv_heads, cfg.head_dim)
@@ -114,19 +119,22 @@ def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
     k = _rope(k, positions, cfg.rope_theta)
 
     new_kv = None
-    if kv_slice is not None:
+    if mode != "full":
         ck, cv = kv_slice  # [B, kvh, max_len, hd]
         ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, write_pos, 0))
         cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, write_pos, 0))
         new_kv = (ck, cv)
-        k, v = ck, cv
+        if mode == "decode":
+            k, v = ck, cv
 
-    if cfg.num_kv_heads != cfg.num_heads:
-        rep = cfg.num_heads // cfg.num_kv_heads
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
+    def expand_kv(t):
+        if cfg.num_kv_heads != cfg.num_heads:
+            return jnp.repeat(t, cfg.num_heads // cfg.num_kv_heads, axis=1)
+        return t
 
-    attn = causal_attention(q, k, v, q_offset=q_offset, kv_len=kv_len)
+    q_offset = write_pos if mode == "decode" else 0
+    attn = causal_attention(q, expand_kv(k), expand_kv(v),
+                            q_offset=q_offset, kv_len=kv_len)
     x = x + linear(p["attn"]["o"], _merge_heads(attn))
 
     h = rms_norm(p["post_attn_norm"], x, eps=cfg.rms_norm_eps)
@@ -145,7 +153,7 @@ def forward(params: dict, cfg: LlamaConfig, embeds: jax.Array,
         positions = jnp.arange(L)
     x = embeds
     for p in params["layers"]:
-        x, _ = _layer(p, cfg, x, positions, None, None, kv_len, q_offset=0)
+        x, _ = _layer(p, cfg, x, positions, "full", kv_len=kv_len)
     return rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps)
 
 
@@ -164,8 +172,8 @@ def prefill(params: dict, cfg: LlamaConfig, embeds: jax.Array,
     x = embeds
     ks, vs = [], []
     for i, p in enumerate(params["layers"]):
-        x, kv = _layer(p, cfg, x, positions, (cache.k[i], cache.v[i]),
-                       jnp.int32(0), None, q_offset=0)
+        x, kv = _layer(p, cfg, x, positions, "prefill",
+                       (cache.k[i], cache.v[i]), jnp.int32(0))
         ks.append(kv[0])
         vs.append(kv[1])
     return (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
@@ -177,12 +185,10 @@ def decode_step(params: dict, cfg: LlamaConfig, embeds: jax.Array,
     """One decode step. embeds: [B, 1, D]; pos: scalar current position.
     Returns (post-norm hidden [B, 1, D], updated cache)."""
     x = embeds
-    positions = pos[None] if pos.ndim == 0 else pos
     ks, vs = [], []
-    kv_len = None
     for i, p in enumerate(params["layers"]):
-        x, kv = _layer(p, cfg, x, jnp.reshape(pos, (1,)),
-                       (cache.k[i], cache.v[i]), pos, kv_len, q_offset=pos)
+        x, kv = _layer(p, cfg, x, jnp.reshape(pos, (1,)), "decode",
+                       (cache.k[i], cache.v[i]), pos)
         ks.append(kv[0])
         vs.append(kv[1])
     return (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),

@@ -15,8 +15,11 @@ import jax.numpy as jnp
 
 from . import flash as _flash
 
-# Toggled by tests / small-shape callers; real entry points pass explicitly.
-_INTERPRET = False
+
+def _interpret() -> bool:
+    # Pallas kernels compile only for TPU; CPU (tests, virtual meshes) runs
+    # the interpreter.
+    return jax.default_backend() != "tpu"
 
 
 def attention_with_decomposed_relpos(
@@ -38,7 +41,7 @@ def attention_with_decomposed_relpos(
 
     if use_flash and _flash.supported_relpos(H, W, hd):
         return _flash.flash_relpos_attention(q, k, v, rel_h_table, rel_w_table,
-                                             size_hw, interpret=_INTERPRET)
+                                             size_hw, interpret=_interpret())
 
     qg = q.reshape(B, nh, H, W, hd)
     rel_h = jnp.einsum("bnhwc,hkc->bnhwk", qg, rel_h_table.astype(q.dtype),
@@ -71,7 +74,7 @@ def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     if (use_flash and Lq > 1 and kv_len is None
             and _flash.supported_causal(Lq, Lk, hd)):
-        return _flash.flash_causal_attention(q, k, v, interpret=_INTERPRET)
+        return _flash.flash_causal_attention(q, k, v, interpret=_interpret())
 
     logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
                         preferred_element_type=jnp.float32) * scale
