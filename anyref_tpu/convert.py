@@ -236,6 +236,45 @@ def convert_mm_projector(sd: dict, dtype=jnp.float32) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# ImageBind audio branch (imagebind_huge.pth layout, audio modality only —
+# the others are deleted by AnyRef, reference anyref.py:142-147)
+# ---------------------------------------------------------------------------
+def convert_imagebind_audio(sd: dict, cfg: ImageBindAudioConfig,
+                            dtype=jnp.float32) -> dict:
+    pre = "modality_preprocessors.audio."
+    tr = "modality_trunks.audio."
+    hd = "modality_heads.audio."
+    blocks = []
+    i = 0
+    while f"{tr}blocks.{i}.attn.in_proj_weight" in sd:
+        b = f"{tr}blocks.{i}."
+        blocks.append({
+            "norm1": _ln(sd, b + "norm_1", dtype),
+            "attn": {
+                "qkv": {"w": jnp.asarray(sd[b + "attn.in_proj_weight"].T, dtype=dtype),
+                        "b": jnp.asarray(sd[b + "attn.in_proj_bias"], dtype=dtype)},
+                "bias_k": jnp.asarray(sd[b + "attn.bias_k"].reshape(-1), dtype=dtype),
+                "bias_v": jnp.asarray(sd[b + "attn.bias_v"].reshape(-1), dtype=dtype),
+                "out": _lin(sd, b + "attn.out_proj", dtype),
+            },
+            "norm2": _ln(sd, b + "norm_2", dtype),
+            "mlp": {"fc1": _lin(sd, b + "mlp.fc1", dtype),
+                    "fc2": _lin(sd, b + "mlp.fc2", dtype)},
+        })
+        i += 1
+    return {
+        "patch_conv": {"w": jnp.asarray(sd[pre + "rgbt_stem.proj.weight"], dtype=dtype)},
+        "patch_norm": _ln(sd, pre + "rgbt_stem.norm_layer", dtype),
+        "cls_token": jnp.asarray(sd[pre + "cls_token"], dtype=dtype),
+        "pos_embed": jnp.asarray(sd[pre + "pos_embedding_helper.pos_embed"],
+                                 dtype=dtype),
+        "blocks": blocks,
+        "head_norm": _ln(sd, hd + "0", dtype),
+        "head_proj": {"w": jnp.asarray(sd[hd + "2.weight"].T, dtype=dtype)},
+    }
+
+
+# ---------------------------------------------------------------------------
 # LoRA merge (reference merge_lora.py:58-62 semantics, done offline)
 # ---------------------------------------------------------------------------
 def merge_lora_into(base_w: Array, lora_a: Array, lora_b: Array,

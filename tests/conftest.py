@@ -32,7 +32,8 @@ def _stub_missing_modules():
     import types
     names = ("torchvision", "torchvision.ops", "torchvision.ops.boxes",
              "torchvision.transforms", "torchvision.transforms.functional",
-             "ftfy", "regex", "timm", "timm.models", "timm.models.layers")
+             "ftfy", "regex", "timm", "timm.models", "timm.models.layers",
+             "iopath", "iopath.common", "iopath.common.file_io")
     for name in names:
         if name not in sys.modules:
             mod = types.ModuleType(name)
@@ -63,6 +64,7 @@ def _stub_missing_modules():
 
     sys.modules["timm.models.layers"].DropPath = _DropPath
     sys.modules["timm.models.layers"].trunc_normal_ = _trunc_normal_
+    sys.modules["iopath.common.file_io"].g_pathmgr = None
 
 
 def reference_on_path():
