@@ -1,0 +1,190 @@
+"""Dataset layer tests over synthetic on-disk fixtures (tiny COCO-format
+dataset, refcoco pickles, ReasonSeg JSONs, AVSBench tree with real wavs)."""
+
+import json
+import os
+import pickle
+import wave
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from anyref_tpu.data import rle
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+
+    # --- tiny COCO train2017 -------------------------------------------
+    img_dir = root / "coco" / "train2017"
+    ann_dir = root / "coco" / "annotations"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, 5):
+        h, w = 64, 80
+        arr = rng.integers(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{str(img_id).zfill(12)}.jpg")
+        images.append({"id": img_id, "height": h, "width": w,
+                       "file_name": f"{str(img_id).zfill(12)}.jpg"})
+        for k in range(2):
+            x0, y0 = 8 + 30 * k, 10 + 20 * k
+            poly = [float(x0), float(y0), float(x0 + 24), float(y0),
+                    float(x0 + 24), float(y0 + 20), float(x0), float(y0 + 20)]
+            annotations.append({
+                "id": ann_id, "image_id": img_id,
+                "category_id": 1 if k == 0 else 17,
+                "segmentation": [poly], "iscrowd": 0, "area": 480.0,
+                "bbox": [x0, y0, 24.0, 20.0]})
+            ann_id += 1
+    coco_json = {"images": images, "annotations": annotations,
+                 "categories": [{"id": 1, "name": "person"},
+                                {"id": 17, "name": "cat"}]}
+    with open(ann_dir / "instances_train2017.json", "w") as f:
+        json.dump(coco_json, f)
+
+    # --- refcoco pickles -------------------------------------------------
+    ref_dir = root / "refcoco"
+    ref_dir.mkdir()
+    refs = []
+    for rid, (img_id, aid) in enumerate([(1, 1), (2, 3), (3, 5)]):
+        refs.append({
+            "ref_id": rid, "ann_id": aid, "image_id": img_id,
+            "category_id": 1, "split": "train" if rid < 2 else "val",
+            "file_name": f"{str(img_id).zfill(12)}.jpg",
+            "sentences": [{"sent": f"the left object {rid}", "sent_id": rid,
+                           "tokens": [], "raw": f"the left object {rid}"}],
+            "sent_ids": [rid]})
+    with open(ref_dir / "refs(unc).p", "wb") as f:
+        pickle.dump(refs, f)
+    with open(ref_dir / "instances.json", "w") as f:
+        json.dump(coco_json, f)
+
+    # --- ReasonSeg --------------------------------------------------------
+    rs = root / "reason" / "train"
+    rs.mkdir(parents=True)
+    arr = rng.integers(0, 255, (48, 64, 3), np.uint8)
+    Image.fromarray(arr).save(rs / "img0.jpg")
+    with open(rs / "img0.json", "w") as f:
+        json.dump({"text": ["the thing used for sitting"],
+                   "is_sentence": True,
+                   "shapes": [{"label": "target",
+                               "points": [[10, 10], [40, 10], [40, 30],
+                                          [10, 30]]}]}, f)
+    with open(root / "reason" / "reason_answer_train.txt", "w") as f:
+        f.write("a chair\n")
+
+    # --- AVSBench S4 -------------------------------------------------------
+    avs = root / "avsbench" / "Single-source"
+    for sub in ("s4_data/visual_frames_original_resolution/train/cat_meowing/v1",
+                "s4_data/audio_wav/train/cat_meowing",
+                "s4_data/gt_masks/train/cat_meowing/v1"):
+        (avs / sub).mkdir(parents=True)
+    Image.fromarray(rng.integers(0, 255, (48, 64, 3), np.uint8)).save(
+        avs / "s4_data/visual_frames_original_resolution/train/cat_meowing/v1/v1_1.png")
+    Image.fromarray((rng.random((48, 64)) > 0.5).astype(np.uint8) * 255).save(
+        avs / "s4_data/gt_masks/train/cat_meowing/v1/v1_1.png")
+    with wave.open(str(avs / "s4_data/audio_wav/train/cat_meowing/v1.wav"),
+                   "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        sig = (np.sin(np.arange(16000 * 5) * 0.05) * 20000).astype(np.int16)
+        w.writeframes(sig.tobytes())
+    with open(avs / "s4_meta_data.csv", "w") as f:
+        f.write("name,vid,category,split\nv1,1,cat_meowing,train\n")
+
+    return str(root)
+
+
+def test_coco_instance_dataset(data_root):
+    from anyref_tpu.data.coco import CocoInstanceSeg
+    ds = CocoInstanceSeg(os.path.join(data_root, "coco/train2017"),
+                         os.path.join(data_root,
+                                      "coco/annotations/instances_train2017.json"),
+                         filter_area=None)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["clip_image"].shape == (3, 224, 224)
+    assert s["sam_image"].shape == (3, 1024, 1024)
+    assert "[SEG]" in s["answer"]
+    assert s["gt_masks"].ndim == 3
+
+
+def test_refcoco_datasets(data_root):
+    from anyref_tpu.data.refcoco import RefCocoTrain, RefCocoVal, RefCocoInverse
+    tr = RefCocoTrain(data_root, "refcoco", split="train")
+    assert len(tr) == 2
+    s = tr[0]
+    assert "Can you segment" in s["question"]
+    assert s["answer"].endswith("[SEG].")
+    va = RefCocoVal(data_root, "refcoco", split="val")
+    assert len(va) == 1
+    sv = va[0]
+    assert sv["answer"] is None and sv["gt_masks"].shape[0] == 1
+    inv = RefCocoInverse(data_root, "refcoco", split="train")
+    si = inv[0]
+    assert "description of the region" in si["question"]
+    assert "ref_image" in si
+
+
+def test_ref_index_and_image_ref(data_root):
+    from anyref_tpu.data.coco import build_ref_index, CocoImageRefSeg
+    idx_file = os.path.join(data_root, "samples.json")
+    idx = build_ref_index(os.path.join(data_root, "coco/train2017"),
+                          os.path.join(data_root,
+                                       "coco/annotations/instances_train2017.json"),
+                          idx_file, box_img_threshold=0.01,
+                          mask_box_threshold=0.1)
+    assert idx
+    ds = CocoImageRefSeg(os.path.join(data_root, "coco/train2017"),
+                         os.path.join(data_root,
+                                      "coco/annotations/instances_train2017.json"),
+                         idx_file, person_keep_frac=1.0)
+    s = ds[0]
+    assert "<img_ref>" in s["question"]
+    assert s["ref_image"].shape == (3, 224, 224)
+
+
+def test_reason_dataset(data_root):
+    from anyref_tpu.data.reason import ReasonSeg
+    ds = ReasonSeg(os.path.join(data_root, "reason"), split="train")
+    s = ds[0]
+    assert "Can you segment it" in s["question"]
+    assert s["gt_masks"][0].sum() > 0
+
+
+def test_avs_dataset(data_root):
+    from anyref_tpu.data.avs import AVSObject
+    ds = AVSObject(os.path.join(data_root, "avsbench/Single-source"),
+                   split="train")
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["audio_mels"].shape == (3, 1, 128, 204)
+    assert "audio" in s["question"]
+    assert s["answer"] == "cat[SEG]."
+
+
+def test_loader_with_collator(data_root):
+    from anyref_tpu.config import anyref_tiny
+    from anyref_tpu.data.coco import CocoInstanceSeg
+    from anyref_tpu.data.collator import Collator
+    from anyref_tpu.data.loader import DataLoader
+    from anyref_tpu.tokenizer import AnyRefTokenizer
+    cfg = anyref_tiny()
+    ds = CocoInstanceSeg(os.path.join(data_root, "coco/train2017"),
+                         os.path.join(data_root,
+                                      "coco/annotations/instances_train2017.json"),
+                         filter_area=None)
+    ds.cfg = cfg
+    dl = DataLoader(ds, Collator(AnyRefTokenizer(), cfg), batch_size=2,
+                    shuffle=True, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["input_ids"].shape == (2, cfg.max_text_len)
+    assert b["gt_masks"].shape[0] == 2
