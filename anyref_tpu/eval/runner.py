@@ -1,0 +1,90 @@
+"""Shared eval predictor: prompt batch -> generated ids + original-size mask
+logits.
+
+Structure mirrors the reference eval scripts' inner loop
+(eval_referseg.py:122-215) with the TPU split: everything static-shape runs
+in one jitted ``generate`` (prefill + SAM encoder dispatched together so XLA
+overlaps them, decode scan, batched mask decode, canvas upscale); the
+variable-shape tail (crop padded canvas, resize to each image's original
+size) runs on host via the same exact-bilinear ops.
+
+Prompt lengths are bucketed to bound recompiles (one compile per bucket).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AnyRefConfig
+from ..models import anyref
+from ..ops.resize import postprocess_masks_np
+
+
+class Predictor:
+    def __init__(self, params, cfg: AnyRefConfig,
+                 max_new_tokens: Optional[int] = None,
+                 prompt_buckets=(128, 192, 256, 384, 512)):
+        self.params = params
+        self.cfg = cfg
+        self.mnt = max_new_tokens or cfg.max_new_tokens
+        self.buckets = sorted(prompt_buckets)
+        self._jitted = {}
+
+    def _fn(self, keyset):
+        if keyset not in self._jitted:
+            self._jitted[keyset] = jax.jit(
+                functools.partial(anyref.generate,
+                                  max_new_tokens=self.mnt),
+                static_argnums=(1,))
+        return self._jitted[keyset]
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def predict(self, batch: Dict[str, np.ndarray]):
+        """batch: collator output (prompt mode). Returns
+        (output_ids [B, mnt], masks: list of [n_seg, H, W] logits or None)."""
+        plen = int(batch["prompt_lens"].max())
+        bucket = self._bucket(plen)
+        jbatch = {
+            "input_ids": jnp.asarray(batch["input_ids"][:, :bucket]),
+            "clip_images": jnp.asarray(batch["clip_images"]),
+            "sam_images": jnp.asarray(batch["sam_images"]),
+        }
+        for k in ("ref_images", "ref_valid", "audio_mels", "audio_valid",
+                  "roi_boxes"):
+            if k in batch:
+                jbatch[k] = jnp.asarray(batch[k])
+        keyset = (bucket, tuple(sorted(jbatch)))
+        out = self._fn(keyset)(self.params, self.cfg, jbatch)
+
+        output_ids = np.asarray(out.output_ids)
+        canvas = np.asarray(out.mask_canvas, np.float32)
+        seg_valid = np.asarray(out.seg_valid)
+        masks: List[Optional[np.ndarray]] = []
+        for b in range(canvas.shape[0]):
+            n = int(seg_valid[b].sum())
+            if n == 0:
+                masks.append(None)
+                continue
+            meta = batch["_meta"][b]
+            h, w = int(meta["height"]), int(meta["width"])
+            rs = tuple(int(v) for v in batch["sam_resized_sizes"][b])
+            masks.append(postprocess_masks_np(canvas[b, :n], rs, (h, w)))
+        return output_ids, masks
+
+
+def binary_mask(logits: Optional[np.ndarray], h: int, w: int) -> np.ndarray:
+    """sigmoid>0.5 binarize; None (no [SEG] emitted) -> zero mask, mirroring
+    the reference fallback (eval_referseg.py:190-195, anyref.py:763-765)."""
+    if logits is None:
+        return np.zeros((h, w), np.int32)
+    return (1.0 / (1.0 + np.exp(-logits[0])) > 0.5).astype(np.int32)

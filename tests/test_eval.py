@@ -1,0 +1,83 @@
+"""Eval harness tests: metric correctness + end-to-end smoke on the tiny
+model over the synthetic fixture datasets."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anyref_tpu.config import anyref_tiny
+from anyref_tpu.eval.metrics import (f_measure, intersection_and_union,
+                                     mask_iou)
+from anyref_tpu.eval.caption_metrics import bleu_n, cider_d
+
+from .test_datasets import data_root  # fixture reuse  # noqa: F401
+
+
+def test_intersection_and_union():
+    pred = np.array([[0, 1, 1], [0, 1, 0]])
+    gt = np.array([[0, 1, 0], [255, 1, 0]])
+    inter, union, tgt = intersection_and_union(pred, gt, K=2)
+    # ignore pixel removed; fg: inter 2, pred 3->2 after ignore? pred fg = 3
+    assert inter[1] == 2
+    assert union[1] == 3  # pred {3 fg} + gt {2 fg} - inter 2 (ignored px maps)
+
+
+def test_mask_iou_no_object():
+    pred = np.full((1, 4, 4), -10.0)  # sigmoid ~ 0
+    gt = np.zeros((1, 4, 4))
+    assert mask_iou(pred, gt) == pytest.approx(1.0, abs=1e-5)
+    gt2 = np.ones((1, 4, 4))
+    assert mask_iou(pred, gt2) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_f_measure_perfect():
+    gt = np.zeros((1, 8, 8))
+    gt[0, 2:6, 2:6] = 1
+    pred = np.where(gt > 0, 10.0, -10.0)
+    assert f_measure(pred, gt) > 0.99
+
+
+def test_caption_metrics():
+    hyps = ["a cat on the mat", "a dog"]
+    refs = [["a cat on the mat", "the cat sits on a mat"], ["a large dog"]]
+    assert bleu_n(hyps, refs, 4) > 0.4
+    assert cider_d(hyps, refs) > 0.5
+    assert bleu_n(["xyz unrelated"], [["a cat"]], 4) == 0.0
+
+
+@pytest.mark.slow
+def test_eval_referseg_smoke(data_root):  # noqa: F811
+    from anyref_tpu.eval.referseg import evaluate_referseg
+    from anyref_tpu.eval.runner import Predictor
+    from anyref_tpu.models import anyref
+    from anyref_tpu.tokenizer import AnyRefTokenizer
+    cfg = anyref_tiny()
+    params = anyref.init(jax.random.key(0), cfg, dtype=jnp.float32)
+    tok = AnyRefTokenizer()
+    pred = Predictor(params, cfg, max_new_tokens=4, prompt_buckets=(384,))
+    out = evaluate_referseg(pred, tok, data_root, "refcoco_val",
+                            out_root=os.path.join(data_root, "eval_out"))
+    r = out["refcoco_val"]
+    assert 0.0 <= r["ciou"] <= 1.0 and r["n"] == 1
+    assert os.path.exists(os.path.join(data_root, "eval_out", "refcoco",
+                                       "val", "result.txt"))
+
+
+@pytest.mark.slow
+def test_eval_avs_smoke(data_root):  # noqa: F811
+    from anyref_tpu.eval.harnesses import evaluate_avs
+    from anyref_tpu.eval.runner import Predictor
+    from anyref_tpu.models import anyref
+    from anyref_tpu.tokenizer import AnyRefTokenizer
+    cfg = anyref_tiny()
+    params = anyref.init(jax.random.key(1), cfg, dtype=jnp.float32)
+    pred = Predictor(params, cfg, max_new_tokens=4, prompt_buckets=(384,))
+    # fixture has only a train split; reuse it as "test" shape-wise
+    r = evaluate_avs(pred, AnyRefTokenizer(), data_root, task="object",
+                     split="train",
+                     out_root=os.path.join(data_root, "eval_out"))
+    assert 0.0 <= r["miou"] <= 1.0 and r["n"] == 1
