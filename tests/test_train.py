@@ -1,0 +1,115 @@
+"""Training-loop correctness probes (the reference's own style: overfit
+fixtures, SURVEY.md §4) + checkpoint roundtrip + SamPredictor smoke."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anyref_tpu.config import anyref_tiny
+from anyref_tpu.models import anyref
+from anyref_tpu.train import lora as lora_mod
+from anyref_tpu.train import step as step_mod
+
+
+CFG = anyref_tiny()
+
+
+def _batch():
+    from anyref_tpu.data.collator import Collator
+    from anyref_tpu.tokenizer import AnyRefTokenizer, seg_answer, seg_question
+    rng = np.random.default_rng(0)
+    col = Collator(AnyRefTokenizer(), CFG, train=True)
+    inst = {
+        "clip_image": rng.standard_normal((3, 224, 224)).astype(np.float32),
+        "sam_image": rng.standard_normal(
+            (3, CFG.sam.image_size, CFG.sam.image_size)).astype(np.float32),
+        "sam_resized_size": (CFG.sam.image_size, CFG.sam.image_size),
+        "question": seg_question("a cat"), "answer": seg_answer("cat"),
+        "gt_masks": (rng.random((1, 48, 64)) > 0.5).astype(np.uint8),
+        "height": 48, "width": 64, "file_name": "x.jpg",
+    }
+    batch = col([inst, inst])
+    return step_mod.device_batch(batch)
+
+
+@pytest.mark.slow
+def test_overfit_one_batch():
+    """Loss must strictly decrease when training repeatedly on one batch
+    (mirrors the reference's overfit=True fixtures,
+    utils/coco_instance.py:276-277)."""
+    params = anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
+    lora_cfg = lora_mod.LoraConfig()
+    opt = step_mod.make_optimizer(lr=1e-3, warmup=2, total_steps=50)
+    state, frozen = step_mod.init_state(jax.random.key(1), params, lora_cfg,
+                                        opt)
+    train_step = jax.jit(step_mod.make_train_step(CFG, lora_cfg, opt,
+                                                  remat=False))
+    batch = _batch()
+    losses = []
+    for _ in range(12):
+        state, metrics = train_step(state, frozen, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"no learning: {losses[0]} -> {losses[-1]}"
+
+
+def test_lora_merge_equivalence():
+    """apply_lora == merge for the forward path; zero-init B = identity."""
+    params = anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
+    lcfg = lora_mod.LoraConfig()
+    lp = lora_mod.init(jax.random.key(1), params["llama"], lcfg)
+    merged = lora_mod.merge(params["llama"], lp, lcfg)
+    # B=0 init: merged weights equal base weights
+    np.testing.assert_array_equal(
+        np.asarray(merged["layers"][0]["attn"]["q"]["w"]),
+        np.asarray(params["llama"]["layers"][0]["attn"]["q"]["w"]))
+    # nonzero adapters: merged == applied
+    lp["layers"][0]["q"]["b"] = jnp.ones_like(lp["layers"][0]["q"]["b"]) * 0.01
+    merged = lora_mod.merge(params["llama"], lp, lcfg)
+    applied = lora_mod.apply(params["llama"], lp, lcfg)
+    np.testing.assert_allclose(
+        np.asarray(merged["layers"][0]["attn"]["q"]["w"]),
+        np.asarray(applied["layers"][0]["attn"]["q"]["w"]), rtol=1e-6)
+
+
+def test_split_merge_roundtrip():
+    params = anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
+    dense, frozen = lora_mod.split_trainable(params)
+    merged = lora_mod.merge_params(dense, frozen)
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(merged)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from anyref_tpu import checkpoint
+    params = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+              "nested": {"b": jnp.ones((4,), jnp.int32)}}
+    checkpoint.save_params(str(tmp_path / "ck"), params)
+    back = checkpoint.load_params(str(tmp_path / "ck"))
+    np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(params["a"]))
+    np.testing.assert_array_equal(np.asarray(back["nested"]["b"]),
+                                  np.asarray(params["nested"]["b"]))
+
+
+def test_sam_predictor_smoke():
+    from anyref_tpu.models import sam as sam_mod
+    from anyref_tpu.models.sam.predictor import SamPredictor
+    rng = np.random.default_rng(0)
+    params = sam_mod.init(jax.random.key(0), CFG.sam, dtype=jnp.float32)
+    pred = SamPredictor(params, CFG.sam)
+    pred.set_image(rng.integers(0, 255, (96, 128, 3), np.uint8))
+    masks, iou, low = pred.predict(box=np.asarray([20, 20, 90, 70]),
+                                   multimask_output=True)
+    assert masks.shape == (3, 96, 128)
+    assert iou.shape == (3,)
+    masks1, _, _ = pred.predict(
+        point_coords=np.asarray([[40.0, 40.0]]),
+        point_labels=np.asarray([1]), multimask_output=False)
+    assert masks1.shape == (1, 96, 128)
