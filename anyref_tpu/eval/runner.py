@@ -28,7 +28,9 @@ from ..ops.resize import postprocess_masks_np
 class Predictor:
     def __init__(self, params, cfg: AnyRefConfig,
                  max_new_tokens: Optional[int] = None,
-                 prompt_buckets=(128, 192, 256, 384, 512)):
+                 prompt_buckets=(129, 193, 257, 385, 513)):
+        # buckets = 1 (mod 128): +255 image expansion lands prefill on
+        # flash-aligned lengths (384/448/512/640/768)
         self.params = params
         self.cfg = cfg
         self.mnt = max_new_tokens or cfg.max_new_tokens

@@ -378,8 +378,21 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
 
     eos = 2  # llama </s>
 
-    def step(carry, i):
-        cache, tok, done = carry
+    # Early-exit decode: a while_loop that stops when every sequence has
+    # emitted EOS (HF generate's behavior in the reference, anyref.py:704-716
+    # — real answers are ~6-12 tokens, so this is the difference between
+    # ~10 and 128 weight-streaming decode steps per query). Unwritten tail
+    # positions stay EOS / zero-hidden, identical to running all steps.
+    D = embeds.shape[-1]
+    toks0 = jnp.full((B, mnt), eos, jnp.int32)
+    hids0 = jnp.zeros((B, mnt, D), embeds.dtype)
+
+    def cond(carry):
+        i, _, _, done, _, _ = carry
+        return (i < mnt) & ~jnp.all(done)
+
+    def body(carry):
+        i, cache, tok, done, toks, hids = carry
         emb = llama.embed(params["llama"], tok[:, None], dtype=embeds.dtype)
         h, cache = llama.decode_step(params["llama"], cfg.llama, emb,
                                      Lp + i, cache)
@@ -387,12 +400,16 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
         nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
         done_next = done | (tok == eos)
         nxt = jnp.where(done_next, eos, nxt)
-        return (cache, nxt, done_next), (tok, h[:, 0])
+        toks = jax.lax.dynamic_update_slice(
+            toks, jnp.where(done, eos, tok)[:, None], (0, i))
+        hids = jax.lax.dynamic_update_slice(hids, h, (0, i, 0))
+        return (i + 1, cache, nxt, done_next, toks, hids)
 
-    (cache, _, done), (toks, hiddens) = jax.lax.scan(
-        step, (cache, first_tok, jnp.zeros((B,), bool)), jnp.arange(mnt))
-    output_ids = toks.T                                   # [B, mnt]
-    gen_hidden = hiddens.transpose(1, 0, 2)               # [B, mnt, D]
+    _, cache, _, done, toks, hiddens = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), cache, first_tok, jnp.zeros((B,), bool), toks0, hids0))
+    output_ids = toks                                     # [B, mnt]
+    gen_hidden = hiddens                                  # [B, mnt, D]
     num_generated = jnp.sum(output_ids != eos, axis=1)
 
     # [SEG] among generated tokens; its hidden state is the state that

@@ -203,6 +203,9 @@ def decode_step(params: dict, cfg: LlamaConfig, embeds: jax.Array,
 
 
 def logits(params: dict, hidden: jax.Array) -> jax.Array:
-    """lm_head in fp32 (reference train.py:415-416)."""
+    """lm_head in fp32 (reference train.py:415-416); int8 path for serving."""
+    if params.get("lm_head_q") is not None:
+        from ..ops.common import linear as _linear
+        return _linear(params["lm_head_q"], hidden).astype(jnp.float32)
     return jnp.einsum("...d,dv->...v", hidden.astype(jnp.float32),
                       params["lm_head"], preferred_element_type=jnp.float32)

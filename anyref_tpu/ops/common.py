@@ -15,6 +15,9 @@ import numpy as np
 
 
 def linear(p, x: jax.Array) -> jax.Array:
+    if "w_q" in p:  # int8-quantized weight (ops/quant.py)
+        from .quant import quant_linear
+        return quant_linear(p, x)
     y = jnp.einsum("...i,io->...o", x, p["w"],
                    preferred_element_type=x.dtype)
     if "b" in p:

@@ -44,8 +44,9 @@ def _pick_bq(L: int, target: int = 512) -> int:
 # ---------------------------------------------------------------------------
 def supported_relpos(H: int, W: int, head_dim: int) -> bool:
     L = H * W
+    bq = _pick_bq(L, 256)
     # only worth it for the global layers; windows (196 tokens) stay on XLA
-    return L >= 1024 and L % _pick_bq(L) == 0 and W % 8 == 0
+    return L >= 1024 and bq >= 128 and bq % 8 == 0 and W % 8 == 0
 
 
 def _relpos_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
@@ -125,7 +126,8 @@ def flash_relpos_attention(q, k, v, rel_h_table, rel_w_table, size_hw,
 # causal prefill attention
 # ---------------------------------------------------------------------------
 def supported_causal(Lq: int, Lk: int, head_dim: int) -> bool:
-    return Lq == Lk and Lq >= 128 and Lq % _pick_bq(Lq, 256) == 0
+    bq = _pick_bq(Lq, 256)
+    return Lq == Lk and Lq >= 128 and bq >= 128 and bq % 8 == 0
 
 
 def _causal_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, bq: int):

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: referring-segmentation queries/sec/chip.
+
+One query = CLIP encode (224^2) + multimodal prefill + KV-cached greedy
+decode + SAM ViT-H encode (1024^2, Pallas flash attention with rel-pos bias)
++ prompt-encode/mask-decode + canvas upscale + host readback of ids + mask
+logits — the full reference pipeline (anyref.py:647-822) as one jitted
+program per query, with a 2-deep dispatch pipeline so query N+1's device
+work overlaps query N's host readback.
+
+Decode length: generation stops at EOS exactly like the reference's HF
+generate (max_new_tokens=128 cap, anyref.py:660); with random weights EOS
+never fires, so the benchmark caps decode at BENCH_DECODE_TOKENS (default 32
+— an upper bound on real referring-seg answers, which are ~6-12 tokens).
+Set BENCH_DECODE_TOKENS=128 for the full-cap worst case.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
+vs_baseline = qps / 5.0 (>=5 q/s/chip target, BASELINE.md).
+Env: BENCH_PRESET=7b|7b-noaudio|tiny, BENCH_QUERIES=N (default 8).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build(preset: str):
+    import jax
+    import jax.numpy as jnp
+
+    from anyref_tpu.config import anyref_7b, anyref_tiny
+    from anyref_tpu.models import anyref
+
+    if preset == "tiny":
+        cfg = anyref_tiny()
+    else:
+        cfg = anyref_7b()
+        if preset == "7b-noaudio":
+            cfg = cfg.scaled(audio=None)
+
+    init = jax.jit(functools.partial(anyref.init, cfg=cfg,
+                                     dtype=jnp.bfloat16),
+                   static_argnames=("cfg",))
+    params = init(jax.random.key(0))
+    # inference: fold the fp32 training islands to bf16 (saves ~1 GiB HBM)
+    params["llama"]["embed_tokens"] = params["llama"]["embed_tokens"].astype(jnp.bfloat16)
+    params["llama"]["lm_head"] = params["llama"]["lm_head"].astype(jnp.bfloat16)
+    return cfg, params
+
+
+def make_batch(cfg, prompt_bucket=129):
+    # bucket = 1 (mod 128): the +255 image expansion lands the prefill on a
+    # flash-aligned length (129 + 255 = 384)
+    import jax
+    import jax.numpy as jnp
+
+    from anyref_tpu.tokenizer import AnyRefTokenizer, seg_question, \
+        tokenize_prompt
+
+    tok = AnyRefTokenizer()
+    ids = tokenize_prompt(tok, seg_question("the cat sitting on the left"))
+    padded = np.zeros((1, prompt_bucket), np.int32)
+    padded[0, :min(len(ids), prompt_bucket)] = ids[:prompt_bucket]
+    key = jax.random.key(1)
+    batch = {
+        "input_ids": jnp.asarray(padded),
+        "clip_images": jax.random.normal(
+            key, (1, 3, cfg.clip.image_size, cfg.clip.image_size),
+            jnp.bfloat16).astype(jnp.float32),
+        "sam_images": jax.random.normal(
+            key, (1, 3, cfg.sam.image_size, cfg.sam.image_size),
+            jnp.bfloat16).astype(jnp.float32),
+    }
+    return batch
+
+
+def main():
+    preset = os.environ.get("BENCH_PRESET", "7b")
+    n_queries = int(os.environ.get("BENCH_QUERIES", "8"))
+    decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from anyref_tpu.models import anyref
+
+    for attempt in ([preset] if preset != "7b" else ["7b", "7b-noaudio"]):
+        try:
+            cfg, params = build(attempt)
+            batch = make_batch(cfg)
+
+            def run(params, cfg_, batch):
+                out = anyref.generate(params, cfg_, batch,
+                                      max_new_tokens=decode_tokens)
+                # ship only what the host pipeline consumes: ids + the first
+                # mask slot's canvas, in bf16 (host crops/resizes from there)
+                return out.output_ids, out.mask_canvas[:, :1].astype(jnp.bfloat16)
+
+            gen = jax.jit(run, static_argnums=(1,))
+
+            def fetch(handles):
+                ids = np.asarray(handles[0])
+                canvas = np.asarray(handles[1], np.float32)
+                return ids, canvas
+
+            fetch(gen(params, cfg, batch))  # compile + warmup
+            # 2-deep pipeline: dispatch next before fetching current
+            t0 = time.time()
+            pending = gen(params, cfg, batch)
+            for _ in range(n_queries - 1):
+                nxt = gen(params, cfg, batch)
+                fetch(pending)
+                pending = nxt
+            fetch(pending)
+            dt = (time.time() - t0) / n_queries
+            qps = 1.0 / dt
+            print(json.dumps({
+                "metric": f"e2e_queries_per_sec_per_chip[{attempt},decode{decode_tokens}]",
+                "value": round(qps, 3),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / 5.0, 3),
+            }))
+            return
+        except Exception as e:  # OOM fallback chain
+            sys.stderr.write(f"bench[{attempt}] failed: {str(e)[:400]}\n")
+            continue
+    print(json.dumps({"metric": "e2e_queries_per_sec_per_chip",
+                      "value": 0.0, "unit": "queries/s",
+                      "vs_baseline": 0.0}))
+
+
+if __name__ == "__main__":
+    main()
