@@ -29,15 +29,19 @@ def _stub_missing_modules():
     """The reference imports torchvision/ftfy at module import time; neither
     is installed. Golden-parity tests only exercise pure-torch modeling code,
     so stub the imports."""
+    import importlib.machinery
     import types
     names = ("torchvision", "torchvision.ops", "torchvision.ops.boxes",
              "torchvision.transforms", "torchvision.transforms.functional",
-             "ftfy", "regex", "timm", "timm.models", "timm.models.layers",
+             "ftfy", "timm", "timm.models", "timm.models.layers",
              "iopath", "iopath.common", "iopath.common.file_io")
     for name in names:
         if name not in sys.modules:
             mod = types.ModuleType(name)
             mod.__path__ = []  # mark as package so submodule imports resolve
+            # real ModuleSpec so importlib.util.find_spec() works on the stub
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None,
+                                                          is_package=True)
             sys.modules[name] = mod
             parent, _, child = name.rpartition(".")
             if parent:
