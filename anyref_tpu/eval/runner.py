@@ -56,8 +56,16 @@ class Predictor:
         (output_ids [B, mnt], masks: list of [n_seg, H, W] logits or None)."""
         plen = int(batch["prompt_lens"].max())
         bucket = self._bucket(plen)
+        # LEFT-pad prompts into the bucket (generate masks pad keys and
+        # shifts rope positions; reference left_pad mode)
+        ids = batch["input_ids"]
+        B = ids.shape[0]
+        left = np.zeros((B, bucket), ids.dtype)
+        for b in range(B):
+            n = min(int(batch["prompt_lens"][b]), bucket)
+            left[b, bucket - n:] = ids[b, :n]
         jbatch = {
-            "input_ids": jnp.asarray(batch["input_ids"][:, :bucket]),
+            "input_ids": jnp.asarray(left),
             "clip_images": jnp.asarray(batch["clip_images"]),
             "sam_images": jnp.asarray(batch["sam_images"]),
         }

@@ -366,9 +366,17 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
         params, cfg, batch["input_ids"], clip_feats,
         ref_feats, ref_valid, audio_feats, audio_valid)
 
+    # prompts arrive LEFT-padded (reference DataCollector left_pad mode,
+    # utils/coco_instance.py:121-160): pad keys are masked and rope positions
+    # shift so each row's first real token is position 0
+    from ..tokenizer import PAD_ID
+    pad_len = jnp.argmax((batch["input_ids"] != PAD_ID).astype(jnp.int32),
+                         axis=1).astype(jnp.int32)
+
     B, Lp, D = embeds.shape
     cache = llama.init_cache(cfg.llama, B, Lp + mnt, dtype=embeds.dtype)
-    hidden, cache = llama.prefill(params["llama"], cfg.llama, embeds, cache)
+    hidden, cache = llama.prefill(params["llama"], cfg.llama, embeds, cache,
+                                  pad_len=pad_len)
 
     sam_embeddings = sam_mod.encode_image(params["sam"], batch["sam_images"],
                                           cfg.sam)
@@ -395,7 +403,7 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
         i, cache, tok, done, toks, hids = carry
         emb = llama.embed(params["llama"], tok[:, None], dtype=embeds.dtype)
         h, cache = llama.decode_step(params["llama"], cfg.llama, emb,
-                                     Lp + i, cache)
+                                     Lp + i, cache, pad_len=pad_len)
         lg = llama.logits(params["llama"], h[:, 0])
         nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
         done_next = done | (tok == eos)

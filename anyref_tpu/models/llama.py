@@ -107,6 +107,7 @@ def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
            kv_slice: Optional[tuple[jax.Array, jax.Array]] = None,
            write_pos: Optional[jax.Array] = None,
            kv_len: Optional[jax.Array] = None,
+           kv_start: Optional[jax.Array] = None,
            use_flash: bool = True,
            ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
     """mode: "full" (training, no cache), "prefill" (fill cache, attend over
@@ -136,7 +137,7 @@ def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
     q_offset = write_pos if mode == "decode" else 0
     attn = causal_attention(q, expand_kv(k), expand_kv(v),
                             q_offset=q_offset, kv_len=kv_len,
-                            use_flash=use_flash)
+                            kv_start=kv_start, use_flash=use_flash)
     x = x + linear(p["attn"]["o"], _merge_heads(attn))
 
     h = rms_norm(p["post_attn_norm"], x, eps=cfg.rms_norm_eps)
@@ -171,16 +172,26 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
 
 
 def prefill(params: dict, cfg: LlamaConfig, embeds: jax.Array,
-            cache: KVCache) -> tuple[jax.Array, KVCache]:
+            cache: KVCache,
+            pad_len: Optional[jax.Array] = None) -> tuple[jax.Array, KVCache]:
     """Run the prompt, filling cache positions [0, L). Returns
-    (post-norm hidden [B, L, D], cache)."""
+    (post-norm hidden [B, L, D], cache).
+
+    ``pad_len`` [B]: leading (left) pad per row for batched generation —
+    rope positions shift so the first real token sits at position 0 and pad
+    keys are masked in the flash kernel (reference left_pad mode)."""
     B, L, _ = embeds.shape
-    positions = jnp.arange(L)
+    if pad_len is None:
+        positions = jnp.arange(L)
+    else:
+        positions = jnp.maximum(
+            jnp.arange(L)[None, :] - pad_len[:, None], 0)
     x = embeds
     ks, vs = [], []
     for i, p in enumerate(params["layers"]):
         x, kv = _layer(p, cfg, x, positions, "prefill",
-                       (cache.k[i], cache.v[i]), jnp.int32(0))
+                       (cache.k[i], cache.v[i]), jnp.int32(0),
+                       kv_start=pad_len)
         ks.append(kv[0])
         vs.append(kv[1])
     return (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
@@ -188,14 +199,20 @@ def prefill(params: dict, cfg: LlamaConfig, embeds: jax.Array,
 
 
 def decode_step(params: dict, cfg: LlamaConfig, embeds: jax.Array,
-                pos: jax.Array, cache: KVCache) -> tuple[jax.Array, KVCache]:
-    """One decode step. embeds: [B, 1, D]; pos: scalar current position.
-    Returns (post-norm hidden [B, 1, D], updated cache)."""
+                pos: jax.Array, cache: KVCache,
+                pad_len: Optional[jax.Array] = None) -> tuple[jax.Array, KVCache]:
+    """One decode step. embeds: [B, 1, D]; pos: scalar current cache slot.
+    With ``pad_len`` the rope position is pos - pad_len[b] per row and
+    left-pad keys are masked. Returns (post-norm hidden [B, 1, D], cache)."""
     x = embeds
+    if pad_len is None:
+        positions = jnp.reshape(pos, (1,))
+    else:
+        positions = (pos - pad_len)[:, None]
     ks, vs = [], []
     for i, p in enumerate(params["layers"]):
-        x, kv = _layer(p, cfg, x, jnp.reshape(pos, (1,)), "decode",
-                       (cache.k[i], cache.v[i]), pos)
+        x, kv = _layer(p, cfg, x, positions, "decode",
+                       (cache.k[i], cache.v[i]), pos, kv_start=pad_len)
         ks.append(kv[0])
         vs.append(kv[1])
     return (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),

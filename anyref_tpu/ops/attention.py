@@ -61,12 +61,15 @@ def attention_with_decomposed_relpos(
 def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      q_offset: int | jax.Array = 0,
                      kv_len: jax.Array | None = None,
+                     kv_start: jax.Array | None = None,
                      use_flash: bool = True) -> jax.Array:
     """Causal (prefill or single-step decode) attention.
 
     q: [B, heads, Lq, hd]; k/v: [B, heads, Lk, hd]. Query position i attends
-    to key positions <= i + q_offset. `kv_len` optionally masks trailing
-    (padded) kv positions per batch element.
+    to key positions <= i + q_offset. `kv_len` masks trailing (right-padded)
+    kv positions; `kv_start` [B] masks leading (left-padded) kv positions —
+    the reference's batched-generate attention_masks (DataCollector left_pad,
+    utils/coco_instance.py:121-160).
     """
     B, nh, Lq, hd = q.shape
     Lk = k.shape[2]
@@ -74,18 +77,19 @@ def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     if (use_flash and Lq > 1 and kv_len is None
             and _flash.supported_causal(Lq, Lk, hd)):
-        return _flash.flash_causal_attention(q, k, v, interpret=_interpret())
+        return _flash.flash_causal_attention(q, k, v, kv_start=kv_start,
+                                             interpret=_interpret())
 
     logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     qpos = jnp.arange(Lq)[:, None] + q_offset
     kpos = jnp.arange(Lk)[None, :]
-    mask = kpos <= qpos                                 # [Lq, Lk]
+    mask = (kpos <= qpos)[None]                          # [1, Lq, Lk]
     if kv_len is not None:
-        mask = mask[None] & (kpos[None] < kv_len[:, None, None])  # [B, Lq, Lk]
-        mask = mask[:, None]
-    else:
-        mask = mask[None, None]
+        mask = mask & (kpos[None] < kv_len[:, None, None])
+    if kv_start is not None:
+        mask = mask & (kpos[None] >= kv_start[:, None, None])
+    mask = jnp.broadcast_to(mask, (B, Lq, Lk))[:, None]
     logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bnqk,bnkd->bnqd", probs, v,

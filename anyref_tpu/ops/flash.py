@@ -130,39 +130,48 @@ def supported_causal(Lq: int, Lk: int, head_dim: int) -> bool:
     return Lq == Lk and Lq >= 128 and bq >= 128 and bq % 8 == 0
 
 
-def _causal_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, bq: int):
+def _causal_kernel(pad_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                   bq: int):
     i = pl.program_id(1)
     q = q_ref[0]                                     # [BQ, hd]
     k = k_ref[0]                                     # [L, hd]
     v = v_ref[0]
+    pad = pad_ref[0]                                 # leading-pad count (row)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     L = k.shape[0]
     qpos = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 0) + i * bq
     kpos = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 1)
-    s = jnp.where(kpos <= qpos, s, -jnp.inf)
+    s = jnp.where((kpos <= qpos) & (kpos >= pad), s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    o_ref[0] = (o / denom).astype(o_ref.dtype)
+    o_ref[0] = (o / jnp.maximum(denom, 1e-20)).astype(o_ref.dtype)
 
 
-def flash_causal_attention(q, k, v, interpret: bool = False):
-    """q/k/v: [B, nh, L, hd] (prefill, no padding mask: right padding is
-    harmless under a causal mask). Returns [B, nh, L, hd]."""
+def flash_causal_attention(q, k, v, kv_start=None, interpret: bool = False):
+    """q/k/v: [B, nh, L, hd] prefill attention. ``kv_start`` [B] masks
+    left-padded keys per row (batched generation; right padding needs no
+    mask under causality). Returns [B, nh, L, hd]."""
     B, nh, L, hd = q.shape
     scale = hd ** -0.5
     BQ = _pick_bq(L, 256)
     qf = q.reshape(B * nh, L, hd)
     kf = k.reshape(B * nh, L, hd)
     vf = v.reshape(B * nh, L, hd)
+    if kv_start is None:
+        pad = jnp.zeros((B * nh, 1), jnp.int32)
+    else:
+        pad = jnp.repeat(kv_start.astype(jnp.int32), nh).reshape(B * nh, 1)
     kernel = functools.partial(_causal_kernel, scale=scale, bq=BQ)
     out = pl.pallas_call(
         kernel,
         grid=(B * nh, L // BQ),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda b, i: (b, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, BQ, hd), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),
@@ -170,5 +179,5 @@ def flash_causal_attention(q, k, v, interpret: bool = False):
         out_specs=pl.BlockSpec((1, BQ, hd), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B * nh, L, hd), q.dtype),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(pad, qf, kf, vf)
     return out.reshape(B, nh, L, hd)

@@ -63,8 +63,9 @@ def make_batch(cfg, prompt_bucket=129):
 
     tok = AnyRefTokenizer()
     ids = tokenize_prompt(tok, seg_question("the cat sitting on the left"))
-    padded = np.zeros((1, prompt_bucket), np.int32)
-    padded[0, :min(len(ids), prompt_bucket)] = ids[:prompt_bucket]
+    padded = np.zeros((1, prompt_bucket), np.int32)  # left-padded
+    n = min(len(ids), prompt_bucket)
+    padded[0, prompt_bucket - n:] = ids[:n]
     key = jax.random.key(1)
     batch = {
         "input_ids": jnp.asarray(padded),
