@@ -132,11 +132,12 @@ def supported_causal(Lq: int, Lk: int, head_dim: int) -> bool:
 
 def _causal_kernel(pad_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
                    bq: int):
+    b = pl.program_id(0)
     i = pl.program_id(1)
     q = q_ref[0]                                     # [BQ, hd]
     k = k_ref[0]                                     # [L, hd]
     v = v_ref[0]
-    pad = pad_ref[0]                                 # leading-pad count (row)
+    pad = pad_ref[b]                                 # leading-pad count (row)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     L = k.shape[0]
@@ -162,21 +163,23 @@ def flash_causal_attention(q, k, v, kv_start=None, interpret: bool = False):
     kf = k.reshape(B * nh, L, hd)
     vf = v.reshape(B * nh, L, hd)
     if kv_start is None:
-        pad = jnp.zeros((B * nh, 1), jnp.int32)
+        pad = jnp.zeros((B * nh,), jnp.int32)
     else:
-        pad = jnp.repeat(kv_start.astype(jnp.int32), nh).reshape(B * nh, 1)
+        pad = jnp.repeat(kv_start.astype(jnp.int32), nh)
     kernel = functools.partial(_causal_kernel, scale=scale, bq=BQ)
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B * nh, L // BQ),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, i: (b, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BQ, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, L, hd), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, L, hd), lambda b, i, *_: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BQ, hd), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * nh, L, hd), q.dtype),
         interpret=interpret,
     )(pad, qf, kf, vf)
