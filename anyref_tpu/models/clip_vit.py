@@ -70,6 +70,7 @@ def apply_patch_features(params: dict, pixels: jax.Array,
     B = pixels.shape[0]
     ps = cfg.patch_size
     grid = cfg.image_size // ps
+    pixels = pixels.astype(params["patch_embed"]["w"].dtype)
     x = pixels.reshape(B, 3, grid, ps, grid, ps)
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, grid * grid, 3 * ps * ps)
     x = linear(params["patch_embed"], x)

@@ -159,6 +159,9 @@ def patch_embed(p, x: jax.Array, patch: int) -> jax.Array:
 def apply(params: dict, x: jax.Array, cfg: SamConfig) -> jax.Array:
     """[B, 3, image_size, image_size] normalized pixels -> [B, 256, grid, grid]
     image embeddings (reference image_encoder.py:110-125)."""
+    # compute in the param dtype (fp32 pixels would promote every block —
+    # and double the flash kernel's VMEM footprint)
+    x = x.astype(params["patch_embed"]["w"].dtype)
     x = patch_embed(params["patch_embed"], x, cfg.patch_size)
     x = x + params["pos_embed"].astype(x.dtype)
     for i, bp in enumerate(params["blocks"]):

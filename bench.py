@@ -52,7 +52,7 @@ def build(preset: str):
     return cfg, params
 
 
-def make_batch(cfg, prompt_bucket=129):
+def make_batch(cfg, prompt_bucket=129, batch_size=1):
     # bucket = 1 (mod 128): the +255 image expansion lands the prefill on a
     # flash-aligned length (129 + 255 = 384)
     import jax
@@ -63,17 +63,17 @@ def make_batch(cfg, prompt_bucket=129):
 
     tok = AnyRefTokenizer()
     ids = tokenize_prompt(tok, seg_question("the cat sitting on the left"))
-    padded = np.zeros((1, prompt_bucket), np.int32)  # left-padded
+    padded = np.zeros((batch_size, prompt_bucket), np.int32)  # left-padded
     n = min(len(ids), prompt_bucket)
-    padded[0, prompt_bucket - n:] = ids[:n]
+    padded[:, prompt_bucket - n:] = ids[:n]
     key = jax.random.key(1)
     batch = {
         "input_ids": jnp.asarray(padded),
         "clip_images": jax.random.normal(
-            key, (1, 3, cfg.clip.image_size, cfg.clip.image_size),
+            key, (batch_size, 3, cfg.clip.image_size, cfg.clip.image_size),
             jnp.bfloat16).astype(jnp.float32),
         "sam_images": jax.random.normal(
-            key, (1, 3, cfg.sam.image_size, cfg.sam.image_size),
+            key, (batch_size, 3, cfg.sam.image_size, cfg.sam.image_size),
             jnp.bfloat16).astype(jnp.float32),
     }
     return batch
@@ -83,6 +83,7 @@ def main():
     preset = os.environ.get("BENCH_PRESET", "7b")
     n_queries = int(os.environ.get("BENCH_QUERIES", "8"))
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "1"))
 
     import jax
     import jax.numpy as jnp
@@ -92,7 +93,7 @@ def main():
     for attempt in ([preset] if preset != "7b" else ["7b", "7b-noaudio"]):
         try:
             cfg, params = build(attempt)
-            batch = make_batch(cfg)
+            batch = make_batch(cfg, batch_size=batch_size)
 
             def run(params, cfg_, batch):
                 out = anyref.generate(params, cfg_, batch,
@@ -118,9 +119,10 @@ def main():
                 pending = nxt
             fetch(pending)
             dt = (time.time() - t0) / n_queries
-            qps = 1.0 / dt
+            qps = batch_size / dt
             print(json.dumps({
-                "metric": f"e2e_queries_per_sec_per_chip[{attempt},decode{decode_tokens}]",
+                "metric": (f"e2e_queries_per_sec_per_chip[{attempt},"
+                           f"decode{decode_tokens},batch{batch_size}]"),
                 "value": round(qps, 3),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / 5.0, 3),
