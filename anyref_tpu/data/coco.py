@@ -67,13 +67,14 @@ class CocoInstanceSeg(SegDataset):
                  filter_area: Optional[float] = 0.01,
                  sampled_class_num: int = 1, max_instances: int = 8,
                  use_loc_tokens: bool = False, overfit: bool = False,
-                 seed: int = 0):
+                 unexist_prob: float = 0.0, seed: int = 0):
         super().__init__()
         self.index = CocoInstances(image_root, json_file, filter_area)
         self.sampled_class_num = sampled_class_num
         self.max_instances = max_instances
         self.use_loc = use_loc_tokens
         self.overfit = overfit
+        self.unexist_prob = unexist_prob
         self._rng = random.Random(seed)
 
     def __len__(self):
@@ -85,6 +86,15 @@ class CocoInstanceSeg(SegDataset):
             return None
         image = load_image_rgb(rec["file_name"])
         uniq = sorted(set(rec["gt_classes"].tolist()))
+        if self._rng.random() < self.unexist_prob:
+            # negative sampling: ask for a class absent from the image
+            # (reference utils/coco_instance.py:451-458, dormant p=0.0)
+            absent = [c for c in COCO_THING_CLASSES if c not in uniq]
+            name = COCO_THING_CLASSES[self._rng.choice(absent)]
+            return self.make_sample(
+                image, seg_question(name),
+                f"there is no {name} in this image.", None,
+                file_name=rec["file_name"], gt_classes=[name])
         n = min(self.sampled_class_num, len(uniq))
         sampled = self._rng.sample(uniq, n)
         names, parts, masks = [], [], []

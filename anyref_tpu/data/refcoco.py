@@ -66,6 +66,12 @@ class RefCocoTrain(SegDataset):
         # one (sentence, mask) pair per item at train (single [SEG] answer)
         i = self._rng.randrange(len(sents))
         q = seg_question(sents[i])
+        if masks[i].sum() == 0:
+            # gRefCOCO no-target refs: negative answer, no mask supervision
+            # (reference's unexist branch, utils/refer_seg.py:408-409)
+            a = f"there is no {sents[i]} in this image."
+            return self.make_sample(image, q, a, None, file_name=path,
+                                    sentence=sents[i])
         a = seg_answer(sents[i], itisseg=self.itisseg)
         return self.make_sample(image, q, a,
                                 np.stack([masks[i]]).astype(np.uint8),

@@ -1,15 +1,26 @@
 """Weight-only int8 quantization with a Pallas dequant-matmul kernel.
 
-Serving the 7B decoder at batch 1-16 is HBM-bandwidth-bound on weight reads
-(measured ~24 ms/decode step in bf16 = 13 GB of weights per token). XLA does
-not fuse an int8->bf16 convert into the dot (measured: the converted weights
-materialize, making it *slower* than bf16), so the dequantization happens
-inside a Pallas kernel: int8 tiles stream HBM->VMEM (half the bytes of bf16),
-convert on the VPU, and feed the MXU — per-output-channel symmetric scales
-applied on the accumulator.
+Measured study on v5e (this environment, single chip):
+  * bf16 decode under XLA streams weights at ~684 GB/s effective
+    (19.6 ms/step for the 7B = 84% of HBM peak) — already near
+    speed-of-light for bf16 storage;
+  * int8 paths all plateau at ~90-140 GB/s of weight bytes, regardless of
+    layout (row/col-major, pre-tiled contiguous blocks), DMA depth (manual
+    4-deep double buffering), or engine (this Pallas kernel, XLA
+    convert-then-dot, XLA native int8xint8 dot_general). The ceiling is the
+    element path: the int8->bf16 convert/reduce rate (~105 G elem/s), not
+    HBM bytes — on this XLA/libtpu version there is no fast int8 GEMV path,
+    so int8 storage LOSES to bf16 for decode despite halving bytes.
 
-The same kernel serves decode GEMVs and prefill GEMMs (tiled over rows /
-outputs / reduction with output revisiting for accumulation).
+The kernel is therefore kept correct + tested but not enabled by default;
+its HBM savings (~6.6 GiB for the 7B) are what unlocks batch>=2 serving, so
+revisiting the native-MXU int8 path (or fp8 on hardware that feeds the MXU
+without a VPU convert) is the top perf roadmap item.
+
+Usage: ``quantize_llama(params)`` returns a tree consumed transparently by
+``ops.common.linear``; the Pallas kernel tiles rows/outputs/reduction with
+output revisiting and per-output-channel symmetric scales on the f32
+accumulator.
 """
 
 from __future__ import annotations

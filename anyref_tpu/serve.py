@@ -1,0 +1,149 @@
+"""Serving runtime: request queue -> micro-batcher -> jitted generate.
+
+Production wrapper over the eval Predictor: requests accumulate in a queue
+and flush as a batch whenever ``max_batch`` requests are waiting or
+``max_wait_ms`` elapses, amortizing decode's weight streaming across the
+batch (decode is HBM-bound: one weight pass serves the whole batch).
+Host-side postprocess (canvas crop + original-size resize + binarize) runs
+on worker threads so the device never waits for it.
+
+The reference has no serving layer (research eval scripts only); this is the
+deployment surface for the >=5 queries/sec/chip target.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from .config import AnyRefConfig
+from .data.base import SegDataset
+from .data.collator import Collator
+from .eval.runner import Predictor, binary_mask
+from .tokenizer import AnyRefTokenizer, audio_ref_question, \
+    img_ref_question, seg_question
+
+
+@dataclass
+class Request:
+    image: np.ndarray                       # [H, W, 3] uint8 RGB
+    text: Optional[str] = None
+    ref_image: Optional[np.ndarray] = None
+    roi_xyxy: Optional[np.ndarray] = None   # pixel coords
+    audio_waveform: Optional[np.ndarray] = None
+    callback: Optional[Callable] = None
+    _result: dict = field(default_factory=dict)
+    _done: threading.Event = field(default_factory=threading.Event)
+
+    def result(self, timeout: Optional[float] = None) -> dict:
+        self._done.wait(timeout)
+        return self._result
+
+
+class Server:
+    def __init__(self, params, cfg: AnyRefConfig,
+                 tokenizer: Optional[AnyRefTokenizer] = None,
+                 max_batch: int = 1, max_wait_ms: float = 5.0,
+                 preprocess_workers: int = 4):
+        self.cfg = cfg
+        self.tok = tokenizer or AnyRefTokenizer()
+        self.predictor = Predictor(params, cfg)
+        self.collator = Collator(self.tok, cfg, train=False)
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._helper = SegDataset(cfg)
+        self._pre_q: "queue.Queue" = queue.Queue()
+        self._run_q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._preprocess_loop, daemon=True)
+            for _ in range(preprocess_workers)
+        ] + [threading.Thread(target=self._device_loop, daemon=True)]
+        for t in self._threads:
+            t.start()
+
+    # -- public API ----------------------------------------------------------
+    def submit(self, req: Request) -> Request:
+        self._pre_q.put(req)
+        return req
+
+    def segment(self, image, text=None, **kw) -> dict:
+        return self.submit(Request(image=image, text=text, **kw)).result()
+
+    def shutdown(self):
+        self._stop.set()
+
+    # -- pipeline ------------------------------------------------------------
+    def _build_sample(self, req: Request) -> dict:
+        kw = {}
+        if req.text is not None:
+            q = seg_question(req.text)
+        elif req.ref_image is not None:
+            q = img_ref_question()
+            kw["ref_image"] = req.ref_image
+        elif req.roi_xyxy is not None:
+            q = img_ref_question()
+            h, w = req.image.shape[:2]
+            kw["ref_bbox"] = (np.asarray(req.roi_xyxy, np.float32)
+                              / np.asarray([w, h, w, h], np.float32))
+        elif req.audio_waveform is not None:
+            from .ops.mel import audio_to_mel_clips
+            q = audio_ref_question()
+            kw["audio_mels"] = audio_to_mel_clips(req.audio_waveform)
+        else:
+            raise ValueError("request needs text/ref_image/roi/audio")
+        return self._helper.make_sample(req.image, q, None, None, **kw)
+
+    def _preprocess_loop(self):
+        while not self._stop.is_set():
+            try:
+                req = self._pre_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                sample = self._build_sample(req)
+                self._run_q.put((req, sample))
+            except Exception as e:
+                req._result = {"error": str(e)}
+                req._done.set()
+
+    def _device_loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._run_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = [first]
+            deadline = time.time() + self.max_wait
+            while len(group) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self._run_q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            reqs, samples = zip(*group)
+            try:
+                batch = self.collator(list(samples))
+                output_ids, masks = self.predictor.predict(batch)
+                for i, req in enumerate(reqs):
+                    h, w = samples[i]["height"], samples[i]["width"]
+                    text = self.tok.decode(
+                        [t for t in output_ids[i].tolist() if t != 2],
+                        skip_special=True)
+                    req._result = {
+                        "text": text,
+                        "mask": binary_mask(masks[i], h, w),
+                        "mask_logits": masks[i],
+                    }
+                    req._done.set()
+            except Exception as e:
+                for req in reqs:
+                    req._result = {"error": str(e)}
+                    req._done.set()
