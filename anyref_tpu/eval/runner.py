@@ -22,7 +22,7 @@ import numpy as np
 
 from ..config import AnyRefConfig
 from ..models import anyref
-from ..ops.resize import postprocess_masks_np
+from ..ops.resize import postprocess_low_res_np
 
 
 class Predictor:
@@ -77,10 +77,10 @@ class Predictor:
         out = self._fn(keyset)(self.params, self.cfg, jbatch)
 
         output_ids = np.asarray(out.output_ids)
-        canvas = np.asarray(out.mask_canvas, np.float32)
+        low = np.asarray(out.low_res_masks, np.float32)
         seg_valid = np.asarray(out.seg_valid)
         masks: List[Optional[np.ndarray]] = []
-        for b in range(canvas.shape[0]):
+        for b in range(low.shape[0]):
             n = int(seg_valid[b].sum())
             if n == 0:
                 masks.append(None)
@@ -88,7 +88,8 @@ class Predictor:
             meta = batch["_meta"][b]
             h, w = int(meta["height"]), int(meta["width"])
             rs = tuple(int(v) for v in batch["sam_resized_sizes"][b])
-            masks.append(postprocess_masks_np(canvas[b, :n], rs, (h, w)))
+            masks.append(postprocess_low_res_np(
+                low[b, :n], self.cfg.sam.image_size, rs, (h, w)))
         return output_ids, masks
 
 

@@ -333,9 +333,17 @@ class GenerateOutput(NamedTuple):
     return-arity inconsistency)."""
     output_ids: jax.Array        # [B, max_new_tokens]
     num_generated: jax.Array     # [B]
-    mask_canvas: jax.Array       # [B, S, 1024, 1024] logits on padded canvas
+    low_res_masks: jax.Array     # [B, S, 4g, 4g] logits (SAM low-res grid)
     seg_valid: jax.Array         # [B, S]
     seg_embeddings: jax.Array    # [B, S, out_dim]
+
+    @property
+    def mask_canvas(self):
+        # kept for compatibility: callers normally upsample on host
+        # (ops.resize.postprocess_low_res_np) — identical numerics to the
+        # reference's device-side stage 1 (sam.py:161-166), 16x less
+        # device->host traffic.
+        return self.low_res_masks
 
 
 def generate(params: dict, cfg: AnyRefConfig, batch: dict,
@@ -453,6 +461,7 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
     low_res, _ = sam_mod.decode_text_prompts(
         params["sam"], cfg.sam, sam_embeddings,
         pred_emb.reshape(B * S, -1), img_index)
-    canvas = sam_mod.upscale_masks(low_res, cfg.sam)
-    canvas = canvas.reshape(B, S, cfg.sam.image_size, cfg.sam.image_size)
-    return GenerateOutput(output_ids, num_generated, canvas, seg_valid, pred_emb)
+    g4 = 4 * cfg.sam.embedding_size
+    low_res = low_res.reshape(B, S, g4, g4)
+    return GenerateOutput(output_ids, num_generated, low_res, seg_valid,
+                          pred_emb)

@@ -113,3 +113,14 @@ def postprocess_masks_np(low_or_canvas: np.ndarray, input_size: tuple[int, int],
     """Stage 2: crop padded region, resize to original (reference sam.py:168-171)."""
     m = low_or_canvas[..., : input_size[0], : input_size[1]]
     return resize_bilinear_np(m, original_size[0], original_size[1])
+
+
+def postprocess_low_res_np(low_res: np.ndarray, image_size: int,
+                           input_size: tuple[int, int],
+                           original_size: tuple[int, int]) -> np.ndarray:
+    """Full SAM postprocess on host from 4g^2 low-res logits: resize to
+    image_size^2 -> crop input_size -> resize to original (reference
+    sam.py:137-172, both stages)."""
+    canvas = resize_bilinear_np(low_res.astype(np.float32), image_size,
+                                image_size)
+    return postprocess_masks_np(canvas, input_size, original_size)

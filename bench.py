@@ -99,8 +99,9 @@ def main():
                 out = anyref.generate(params, cfg_, batch,
                                       max_new_tokens=decode_tokens)
                 # ship only what the host pipeline consumes: ids + the first
-                # mask slot's canvas, in bf16 (host crops/resizes from there)
-                return out.output_ids, out.mask_canvas[:, :1].astype(jnp.bfloat16)
+                # mask slot's LOW-RES logits (the host does both postprocess
+                # resizes, identical to reference sam.py:137-172 numerics)
+                return out.output_ids, out.low_res_masks[:, :1].astype(jnp.bfloat16)
 
             gen = jax.jit(run, static_argnums=(1,))
 

@@ -123,8 +123,8 @@ def test_generate(params):
     out = jax.jit(anyref.generate, static_argnums=(1, 3))(
         params, CFG, jbatch, 8)
     assert out.output_ids.shape == (1, 8)
-    assert out.mask_canvas.shape == (1, CFG.max_seg_per_sample,
-                                     CFG.sam.image_size, CFG.sam.image_size)
+    g4 = 4 * CFG.sam.embedding_size
+    assert out.low_res_masks.shape == (1, CFG.max_seg_per_sample, g4, g4)
     # random weights: [SEG] may or may not be emitted; structure must hold
     assert out.seg_valid.shape == (1, CFG.max_seg_per_sample)
 
