@@ -125,6 +125,18 @@ def assemble_pretrained(cfg: AnyRefConfig, *,
         if tower:
             params["clip"] = convert.convert_clip_vision(tower, cfg.clip,
                                                          dtype=dtype)
+        # a fully-merged reference checkpoint (merge_lora.py output) carries
+        # SAM, the ImageBind audio branch and the AnyRef heads too
+        sam_sd = {k.split("model.visual_model.", 1)[1]: v
+                  for k, v in sd.items() if k.startswith("model.visual_model.")}
+        if sam_sd:
+            params["sam"] = convert.convert_sam(sam_sd, cfg.sam, dtype=dtype)
+        ib_sd = {k.split("model.audio_encoder.", 1)[1]: v
+                 for k, v in sd.items() if k.startswith("model.audio_encoder.")}
+        if ib_sd and cfg.audio:
+            params["audio_encoder"] = convert.convert_imagebind_audio(
+                ib_sd, cfg.audio, dtype=dtype)
+        params.update(convert.convert_anyref_heads(sd, dtype=dtype))
     if clip_dir and os.path.isdir(clip_dir):
         sd = _load_hf_dir(clip_dir)
         params["clip"] = convert.convert_clip_vision(sd, cfg.clip, dtype=dtype)

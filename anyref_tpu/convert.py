@@ -235,6 +235,31 @@ def convert_mm_projector(sd: dict, dtype=jnp.float32) -> dict:
     raise KeyError("mm_projector weights not found")
 
 
+def convert_anyref_heads(sd: dict, dtype=jnp.float32) -> dict:
+    """AnyRef-specific heads from a merged reference checkpoint
+    (merge_lora.py saves the full model): text_hidden_fcs (Sequential
+    Linear/ReLU/Linear/Dropout, anyref.py:115-127), audio_projector,
+    loc_embeddings. Returns only the heads found."""
+    out = {}
+    for pre in ("model.text_hidden_fcs.0.", "text_hidden_fcs.0."):
+        if pre + "0.weight" in sd:
+            out["text_hidden_fcs"] = {
+                "lin1": _lin(sd, pre + "0", jnp.float32),
+                "lin2": _lin(sd, pre + "2", jnp.float32),
+            }
+            break
+    for pre in ("model.audio_projector", "audio_projector"):
+        if pre + ".weight" in sd:
+            out["audio_projector"] = _lin(sd, pre, dtype)
+            break
+    for pre in ("model.loc_embeddings", "loc_embeddings"):
+        if pre + ".weight" in sd:
+            out["loc_embeddings"] = jnp.asarray(sd[pre + ".weight"],
+                                                dtype=jnp.float32)
+            break
+    return out
+
+
 # ---------------------------------------------------------------------------
 # ImageBind audio branch (imagebind_huge.pth layout, audio modality only —
 # the others are deleted by AnyRef, reference anyref.py:142-147)
