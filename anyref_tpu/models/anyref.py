@@ -72,6 +72,12 @@ def init(key: jax.Array, cfg: AnyRefConfig, dtype=jnp.bfloat16) -> dict:
         params["loc_embeddings"] = (
             jax.random.normal(k8, (cfg.tokens.num_loc, cfg.out_dim)) * 0.02
         ).astype(jnp.float32)
+    # RoI reference pathway: the reference passes a raw normalized 4-vector
+    # through its missing LLaVA fork (anyref.py:331-332); reconstructed here
+    # as per-coordinate quantized embeddings filling the 4 <img_ref> slots.
+    params["roi_embed"] = (
+        jax.random.normal(jax.random.fold_in(k8, 1),
+                          (IMG_REF_NUM, 101, d)) * 0.02).astype(dtype)
     return params
 
 
@@ -120,6 +126,15 @@ def encode_ref_images(params: dict, cfg: AnyRefConfig,
     B, L, D = feats.shape
     feats = feats.reshape(B, L // 16, 16, D).mean(axis=2)  # [B, 16, D]
     return feats.reshape(B, IMG_REF_NUM, -1, D).mean(axis=2)  # [B, 4, D]
+
+
+def encode_roi(params: dict, roi_boxes: jax.Array) -> jax.Array:
+    """Normalized xyxy boxes [B, 4] -> [B, 4, hidden]: one embedding per
+    quantized coordinate, one per <img_ref> slot."""
+    q = jnp.clip(jnp.round(roi_boxes * 100.0), 0, 100).astype(jnp.int32)
+    # roi_embed: [4, 101, D]; gather per slot k its coordinate embedding
+    return jnp.stack([params["roi_embed"][k][q[:, k]]
+                      for k in range(q.shape[1])], axis=1)
 
 
 def encode_audio(params: dict, cfg: AnyRefConfig, mels: jax.Array) -> jax.Array:
@@ -237,6 +252,9 @@ def train_forward(params: dict, cfg: AnyRefConfig, batch: dict) -> TrainOutput:
     ref_valid = audio_valid = None
     if "ref_images" in batch:
         ref_feats = encode_ref_images(params, cfg, batch["ref_images"])
+        ref_valid = batch.get("ref_valid")
+    elif "roi_boxes" in batch:
+        ref_feats = encode_roi(params, batch["roi_boxes"])
         ref_valid = batch.get("ref_valid")
     if "audio_mels" in batch and cfg.audio is not None:
         audio_feats = encode_audio(params, cfg, batch["audio_mels"])
@@ -365,6 +383,9 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
     ref_valid = audio_valid = None
     if "ref_images" in batch:
         ref_feats = encode_ref_images(params, cfg, batch["ref_images"])
+        ref_valid = batch.get("ref_valid")
+    elif "roi_boxes" in batch:
+        ref_feats = encode_roi(params, batch["roi_boxes"])
         ref_valid = batch.get("ref_valid")
     if "audio_mels" in batch and cfg.audio is not None:
         audio_feats = encode_audio(params, cfg, batch["audio_mels"])

@@ -80,6 +80,7 @@ TRAINABLE_DENSE = (
 TRAINABLE_OPTIONAL = (
     ("audio_projector",),
     ("loc_embeddings",),
+    ("roi_embed",),
 )
 
 
