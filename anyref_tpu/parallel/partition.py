@@ -53,6 +53,20 @@ def batch_spec(batch: dict) -> dict:
     return {k: P(DATA_AXIS) for k in batch}
 
 
+def shard_params(params: dict, mesh, cfg) -> dict:
+    """Place an anyref param tree on a mesh: decoder tensor-parallel over
+    "model", everything else replicated. Serving entry point for multi-chip
+    (decode weight streaming divides by the model-axis size)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    spec = anyref_spec(params, cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+        if x is not None else None,
+        params, spec, is_leaf=lambda x: x is None)
+
+
 def lora_spec(lora_tree) -> dict:
     """LoRA adapters are tiny; a: [d, r] replicated, b: [r, out] sharded on
     out to match the base layer's column sharding."""

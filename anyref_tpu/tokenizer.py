@@ -60,6 +60,30 @@ class AnyRefTokenizer:
     ids 3..258 (deterministic, reversible).
     """
 
+    @classmethod
+    def from_pretrained(cls, path: str,
+                        tokens: SpecialTokens = SpecialTokens()):
+        """Load the real LLaMA tokenizer from an HF directory (tokenizer.json
+        fast format — no sentencepiece dependency needed). Base-vocab piece
+        ids are preserved; added specials use this framework's fixed layout
+        (added in the same order as reference train.py:100-131)."""
+        import os
+
+        from tokenizers import Tokenizer
+
+        class _HF:
+            def __init__(self, tk):
+                self.tk = tk
+
+            def encode(self, text, add_special_tokens=False):
+                return self.tk.encode(text, add_special_tokens=False).ids
+
+            def decode(self, ids):
+                return self.tk.decode(ids)
+
+        return cls(_HF(Tokenizer.from_file(
+            os.path.join(path, "tokenizer.json"))), tokens)
+
     def __init__(self, base=None, tokens: SpecialTokens = SpecialTokens()):
         self.base = base
         self.tokens = tokens
