@@ -16,8 +16,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .config import (AnyRefConfig, ClipVisionConfig, ImageBindAudioConfig,
-                     LlamaConfig, SamConfig)
+from .config import (ClipVisionConfig, ImageBindAudioConfig, LlamaConfig,
+                     SamConfig)
 
 
 Array = np.ndarray

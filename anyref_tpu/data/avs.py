@@ -10,7 +10,6 @@ from __future__ import annotations
 import csv
 import os
 import wave
-from typing import Optional
 
 import numpy as np
 from PIL import Image

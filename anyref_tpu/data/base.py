@@ -4,9 +4,8 @@ this per file — SURVEY.md §2.2 preamble)."""
 
 from __future__ import annotations
 
-import os
 import random
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 from PIL import Image

@@ -12,7 +12,6 @@ import glob
 import json
 import os
 import random
-from typing import Optional
 
 import numpy as np
 

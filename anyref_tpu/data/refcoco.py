@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import os
 import random
-from typing import List, Optional
-
 import numpy as np
 
 from ..tokenizer import region_caption_question, seg_answer, seg_question

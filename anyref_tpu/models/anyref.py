@@ -29,8 +29,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import (AUDIO_REF_NUM, IGNORE_INDEX, IMG_REF_NUM,
-                      NUM_IMAGE_TOKENS, AnyRefConfig)
+from ..config import (IGNORE_INDEX, IMG_REF_NUM, NUM_IMAGE_TOKENS,
+                      AnyRefConfig)
 from ..ops.common import linear
 from ..ops.losses import dice_loss, lm_cross_entropy, sigmoid_ce_loss
 from . import clip_vit, llama

@@ -18,8 +18,6 @@ audio_projector (anyref.py:313-317).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

@@ -11,7 +11,7 @@ the same grid logic (crop_n_layers like the reference, default 0).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ the cached embedding for any number of prompts.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

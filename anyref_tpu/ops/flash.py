@@ -45,8 +45,12 @@ def _pick_bq(L: int, target: int = 512) -> int:
 def supported_relpos(H: int, W: int, head_dim: int) -> bool:
     L = H * W
     bq = _pick_bq(L, 256)
-    # only worth it for the global layers; windows (196 tokens) stay on XLA
-    return L >= 1024 and bq >= 128 and bq % 8 == 0 and W % 8 == 0
+    if L >= 1024:
+        # global layers: blocked queries need tiling-aligned BQ
+        return bq >= 128 and bq % 8 == 0 and W % 8 == 0
+    # window layers (e.g. 14x14 = 196 tokens): one whole-window block per
+    # grid step — full-dimension blocks are exempt from tiling alignment
+    return 64 <= L <= 1024
 
 
 def _relpos_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,

@@ -23,7 +23,6 @@ import optax
 
 from ..config import AnyRefConfig
 from ..models import anyref
-from ..parallel.mesh import DATA_AXIS
 from . import lora as lora_mod
 
 

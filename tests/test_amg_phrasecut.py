@@ -1,10 +1,8 @@
 """SAM automatic mask generation + PhraseCut loader tests."""
 
 import json
-import os
 
 import numpy as np
-import pytest
 from PIL import Image
 
 import jax

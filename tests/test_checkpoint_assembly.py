@@ -3,7 +3,6 @@ checkpoint (the merge_lora.py output layout: one HF dir carrying LLaMA +
 mm_projector + CLIP tower + SAM + AnyRef heads)."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

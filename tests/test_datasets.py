@@ -10,8 +10,6 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from anyref_tpu.data import rle
-
 
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):

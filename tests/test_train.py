@@ -1,8 +1,6 @@
 """Training-loop correctness probes (the reference's own style: overfit
 fixtures, SURVEY.md §4) + checkpoint roundtrip + SamPredictor smoke."""
 
-import os
-
 import numpy as np
 import pytest
 

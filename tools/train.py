@@ -9,7 +9,6 @@ Example (mirrors train.sh):
 """
 
 import argparse
-import dataclasses
 import sys
 
 sys.path.insert(0, ".")
