@@ -28,13 +28,17 @@ from ..ops.resize import postprocess_low_res_np
 class Predictor:
     def __init__(self, params, cfg: AnyRefConfig,
                  max_new_tokens: Optional[int] = None,
-                 prompt_buckets=(129, 193, 257, 385, 513)):
+                 prompt_buckets=(129, 193, 257, 385, 513),
+                 batch_buckets=(1, 2, 4, 8)):
         # buckets = 1 (mod 128): +255 image expansion lands prefill on
-        # flash-aligned lengths (384/448/512/640/768)
+        # flash-aligned lengths (384/448/512/640/768). Batch sizes also
+        # bucket (pad with dummy rows) so a serving queue never triggers a
+        # fresh compile per distinct batch size.
         self.params = params
         self.cfg = cfg
         self.mnt = max_new_tokens or cfg.max_new_tokens
         self.buckets = sorted(prompt_buckets)
+        self.batch_buckets = sorted(batch_buckets)
         self._jitted = {}
 
     def _fn(self, keyset):
@@ -56,29 +60,41 @@ class Predictor:
         (output_ids [B, mnt], masks: list of [n_seg, H, W] logits or None)."""
         plen = int(batch["prompt_lens"].max())
         bucket = self._bucket(plen)
-        # LEFT-pad prompts into the bucket (generate masks pad keys and
-        # shifts rope positions; reference left_pad mode)
         ids = batch["input_ids"]
         B = ids.shape[0]
-        left = np.zeros((B, bucket), ids.dtype)
+        BB = next((b for b in self.batch_buckets if b >= B),
+                  self.batch_buckets[-1])
+        BB = max(BB, B)
+        # LEFT-pad prompts into the bucket (generate masks pad keys and
+        # shifts rope positions; reference left_pad mode); pad the batch dim
+        # with copies of row 0 (dropped from outputs).
+        left = np.zeros((BB, bucket), ids.dtype)
         for b in range(B):
             n = min(int(batch["prompt_lens"][b]), bucket)
             left[b, bucket - n:] = ids[b, :n]
+        left[B:] = left[0]
+
+        def pad_rows(x):
+            if x.shape[0] == BB:
+                return x
+            reps = np.repeat(x[:1], BB - x.shape[0], axis=0)
+            return np.concatenate([x, reps], axis=0)
+
         jbatch = {
             "input_ids": jnp.asarray(left),
-            "clip_images": jnp.asarray(batch["clip_images"]),
-            "sam_images": jnp.asarray(batch["sam_images"]),
+            "clip_images": jnp.asarray(pad_rows(batch["clip_images"])),
+            "sam_images": jnp.asarray(pad_rows(batch["sam_images"])),
         }
         for k in ("ref_images", "ref_valid", "audio_mels", "audio_valid",
                   "roi_boxes"):
             if k in batch:
-                jbatch[k] = jnp.asarray(batch[k])
-        keyset = (bucket, tuple(sorted(jbatch)))
+                jbatch[k] = jnp.asarray(pad_rows(batch[k]))
+        keyset = (bucket, BB, tuple(sorted(jbatch)))
         out = self._fn(keyset)(self.params, self.cfg, jbatch)
 
-        output_ids = np.asarray(out.output_ids)
-        low = np.asarray(out.low_res_masks, np.float32)
-        seg_valid = np.asarray(out.seg_valid)
+        output_ids = np.asarray(out.output_ids)[:B]
+        low = np.asarray(out.low_res_masks, np.float32)[:B]
+        seg_valid = np.asarray(out.seg_valid)[:B]
         masks: List[Optional[np.ndarray]] = []
         for b in range(low.shape[0]):
             n = int(seg_valid[b].sum())
