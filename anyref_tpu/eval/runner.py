@@ -29,7 +29,8 @@ class Predictor:
     def __init__(self, params, cfg: AnyRefConfig,
                  max_new_tokens: Optional[int] = None,
                  prompt_buckets=(129, 193, 257, 385, 513),
-                 batch_buckets=(1, 2, 4, 8)):
+                 batch_buckets=(1, 2, 4, 8),
+                 speculative: bool = False):
         # buckets = 1 (mod 128): +255 image expansion lands prefill on
         # flash-aligned lengths (384/448/512/640/768). Batch sizes also
         # bucket (pad with dummy rows) so a serving queue never triggers a
@@ -39,13 +40,17 @@ class Predictor:
         self.mnt = max_new_tokens or cfg.max_new_tokens
         self.buckets = sorted(prompt_buckets)
         self.batch_buckets = sorted(batch_buckets)
+        self.speculative = speculative
         self._jitted = {}
 
     def _fn(self, keyset):
         if keyset not in self._jitted:
+            # speculative decoding is batch-1 only (per-row acceptance
+            # diverges in lockstep batches)
+            spec = self.speculative and keyset[1] == 1
             self._jitted[keyset] = jax.jit(
-                functools.partial(anyref.generate,
-                                  max_new_tokens=self.mnt),
+                functools.partial(anyref.generate, max_new_tokens=self.mnt,
+                                  speculative=spec),
                 static_argnums=(1,))
         return self._jitted[keyset]
 

@@ -224,6 +224,91 @@ def project_seg_hidden(params: dict, hidden: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# speculative decoding (prompt-lookup drafts)
+# ---------------------------------------------------------------------------
+def _prompt_lookup_draft(seq: jax.Array, cur_len: jax.Array, ngram: int,
+                         draft_len: int) -> jax.Array:
+    """Draft the next ``draft_len`` tokens by copying what followed the most
+    recent earlier occurrence of the current ``ngram``-suffix. seq: [LT]
+    (prompt + generated so far, eos-filled tail); cur_len: current length.
+    Referring-seg answers largely echo the prompt ("the red cat[SEG]."), so
+    prompt-lookup drafts accept at high rate with real checkpoints."""
+    LT = seq.shape[0]
+    gram = jax.lax.dynamic_slice(seq, (cur_len - ngram,), (ngram,))
+    idx = jnp.arange(LT)
+    eq = jnp.ones((LT,), bool)
+    for t in range(ngram):
+        eq = eq & (seq[jnp.clip(idx + t, 0, LT - 1)] == gram[t])
+    valid = idx + ngram <= cur_len - 1   # strictly before the suffix itself
+    score = jnp.where(eq & valid, idx, -1)
+    j = jnp.max(score)
+    start = jnp.where(j >= 0, j + ngram, cur_len - 1)  # fallback: repeat tail
+    return jax.lax.dynamic_slice(seq, (jnp.clip(start, 0, LT - draft_len),),
+                                 (draft_len,))
+
+
+def _speculative_decode(params, cfg, exp_ids, pad_len, cache, first_tok,
+                        Lp: int, mnt: int, G: int, ngram: int, dtype):
+    """Batch-1 speculative decode loop. Each iteration feeds the pending
+    token + G lookup drafts in one multi-token pass (one weight stream
+    instead of up to G+1); the accepted prefix advances the stream. Rejected
+    cache/buffer entries are rewritten from the accepted position before any
+    later query attends them (same induction as left-pad masking).
+
+    Returns (output_ids [1, mnt], gen_hidden [1, mnt, D]) — bit-identical to
+    the plain greedy loop.
+    """
+    eos = 2
+    D = params["llama"]["layers"][0]["input_norm"]["scale"].shape[0]
+    ext = mnt + G + 1
+    toks0 = jnp.full((1, ext), eos, jnp.int32)
+    hids0 = jnp.zeros((1, ext, D), dtype)
+    all_ids0 = jnp.concatenate(
+        [exp_ids, jnp.full((1, ext), eos, jnp.int32)], axis=1)   # [1, Lp+ext]
+
+    def cond(carry):
+        i, done = carry[0], carry[3]
+        return (i < mnt) & ~done
+
+    def body(carry):
+        i, cache, tok, done, toks, hids, all_ids = carry
+        all_ids = jax.lax.dynamic_update_slice(all_ids, tok[None, None],
+                                               (0, Lp + i))
+        draft = _prompt_lookup_draft(all_ids[0], Lp + i + 1, ngram, G)
+        feed = jnp.concatenate([tok[None], draft])               # [G+1]
+        emb = llama.embed(params["llama"], feed[None], dtype=dtype)
+        h, cache = llama.decode_chunk(params["llama"], cfg.llama, emb,
+                                      Lp + i, cache, pad_len=pad_len)
+        lg = llama.logits(params["llama"], h[0])                 # [G+1, V]
+        nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)          # [G+1]
+
+        match = jnp.cumprod((draft == nxt[:G]).astype(jnp.int32))
+        acc = jnp.concatenate([jnp.ones((1,), jnp.int32), match])
+        no_eos_before = jnp.cumprod(jnp.concatenate(
+            [jnp.ones((1,), jnp.int32), (feed[:G] != eos).astype(jnp.int32)]))
+        ok = acc * no_eos_before                                 # [G+1]
+        n_emit = jnp.sum(ok)
+        done_next = jnp.any((feed == eos) & (ok == 1))
+
+        toks = jax.lax.dynamic_update_slice(toks, feed[None], (0, i))
+        hids = jax.lax.dynamic_update_slice(hids, h, (0, i, 0))
+        all_ids = jax.lax.dynamic_update_slice(all_ids, feed[None],
+                                               (0, Lp + i))
+        next_tok = nxt[jnp.clip(n_emit - 1, 0, G)]
+        return (i + n_emit, cache, next_tok, done_next, toks, hids, all_ids)
+
+    i, cache, tok, done, toks, hids, all_ids = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), cache, first_tok[0], jnp.zeros((), bool),
+         toks0, hids0, all_ids0))
+    # mask stale tail (slots >= final i) back to EOS / zeros
+    live = jnp.arange(ext)[None, :] < i
+    toks = jnp.where(live, toks, eos)
+    hids = jnp.where(live[:, :, None], hids, 0)
+    return toks[:, :mnt], hids[:, :mnt]
+
+
+# ---------------------------------------------------------------------------
 # training forward
 # ---------------------------------------------------------------------------
 class TrainOutput(NamedTuple):
@@ -365,15 +450,27 @@ class GenerateOutput(NamedTuple):
 
 
 def generate(params: dict, cfg: AnyRefConfig, batch: dict,
-             max_new_tokens: Optional[int] = None) -> GenerateOutput:
+             max_new_tokens: Optional[int] = None,
+             speculative: bool = False, draft_len: int = 4,
+             lookup_ngram: int = 2) -> GenerateOutput:
     """Greedy decode + SAM mask synthesis (reference anyref.py:647-822).
 
-    batch: input_ids [B, T] (prompt only, right-aligned content with one
-    <image>), prompt_len [B], clip_images, sam_images, optional ref/audio.
+    batch: input_ids [B, T] (prompt only, LEFT-padded with one <image>),
+    clip_images, sam_images, optional ref/audio/roi.
 
     TPU design: prefill and the SAM ViT-H encoder are independent
     computations; both are dispatched inside one jit so XLA can overlap them
     (the reference runs them serially, anyref.py:793 after :704).
+
+    ``speculative`` (batch 1 only): prompt-lookup speculative decoding —
+    drafts are copied from earlier occurrences of the current token suffix
+    and verified in one multi-token pass (lossless: outputs are exactly the
+    greedy stream; decode weight passes divide by ~(1 + acceptance rate *
+    draft_len)). Caveat measured on v5e: XLA assigns the multi-row chunk
+    GEMMs transposed weight layouts and materializes ~3.2 GiB of weight
+    copies, so at 7B-on-one-16GB-chip this path OOMs — use it on multi-chip
+    TP meshes (per-chip weights halve) or smaller models until the layout
+    conflict is resolved.
     """
     mnt = max_new_tokens or cfg.max_new_tokens
     tk = cfg.tokens
@@ -424,29 +521,36 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
     toks0 = jnp.full((B, mnt), eos, jnp.int32)
     hids0 = jnp.zeros((B, mnt, D), embeds.dtype)
 
-    def cond(carry):
-        i, _, _, done, _, _ = carry
-        return (i < mnt) & ~jnp.all(done)
+    if speculative and B == 1:
+        output_ids, gen_hidden = _speculative_decode(
+            params, cfg, exp_ids, pad_len, cache, first_tok, Lp, mnt,
+            draft_len, lookup_ngram, embeds.dtype)
+    else:
+        def cond(carry):
+            i, _, _, done, _, _ = carry
+            return (i < mnt) & ~jnp.all(done)
 
-    def body(carry):
-        i, cache, tok, done, toks, hids = carry
-        emb = llama.embed(params["llama"], tok[:, None], dtype=embeds.dtype)
-        h, cache = llama.decode_step(params["llama"], cfg.llama, emb,
-                                     Lp + i, cache, pad_len=pad_len)
-        lg = llama.logits(params["llama"], h[:, 0])
-        nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-        done_next = done | (tok == eos)
-        nxt = jnp.where(done_next, eos, nxt)
-        toks = jax.lax.dynamic_update_slice(
-            toks, jnp.where(done, eos, tok)[:, None], (0, i))
-        hids = jax.lax.dynamic_update_slice(hids, h, (0, i, 0))
-        return (i + 1, cache, nxt, done_next, toks, hids)
+        def body(carry):
+            i, cache, tok, done, toks, hids = carry
+            emb = llama.embed(params["llama"], tok[:, None],
+                              dtype=embeds.dtype)
+            h, cache = llama.decode_step(params["llama"], cfg.llama, emb,
+                                         Lp + i, cache, pad_len=pad_len)
+            lg = llama.logits(params["llama"], h[:, 0])
+            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            done_next = done | (tok == eos)
+            nxt = jnp.where(done_next, eos, nxt)
+            toks = jax.lax.dynamic_update_slice(
+                toks, jnp.where(done, eos, tok)[:, None], (0, i))
+            hids = jax.lax.dynamic_update_slice(hids, h, (0, i, 0))
+            return (i + 1, cache, nxt, done_next, toks, hids)
 
-    _, cache, _, done, toks, hiddens = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), cache, first_tok, jnp.zeros((B,), bool), toks0, hids0))
-    output_ids = toks                                     # [B, mnt]
-    gen_hidden = hiddens                                  # [B, mnt, D]
+        _, cache, _, done, toks, hiddens = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), cache, first_tok, jnp.zeros((B,), bool),
+             toks0, hids0))
+        output_ids = toks                                 # [B, mnt]
+        gen_hidden = hiddens                              # [B, mnt, D]
     num_generated = jnp.sum(output_ids != eos, axis=1)
 
     # [SEG] among generated tokens; its hidden state is the state that

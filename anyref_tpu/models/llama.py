@@ -219,6 +219,31 @@ def decode_step(params: dict, cfg: LlamaConfig, embeds: jax.Array,
             KVCache(jnp.stack(ks), jnp.stack(vs)))
 
 
+def decode_chunk(params: dict, cfg: LlamaConfig, embeds: jax.Array,
+                 pos: jax.Array, cache: KVCache,
+                 pad_len: Optional[jax.Array] = None) -> tuple[jax.Array, KVCache]:
+    """Multi-token decode step (speculative verification): embeds [B, G, D]
+    are G consecutive draft positions starting at cache slot ``pos``; writes
+    their k/v and attends causally over the cache. Returns (post-norm hidden
+    [B, G, D], cache). Rejected draft entries left in the cache are
+    harmless: the next chunk rewrites from the accepted position before any
+    query can attend them."""
+    B, G, _ = embeds.shape
+    if pad_len is None:
+        positions = pos + jnp.arange(G)[None, :]
+    else:
+        positions = (pos + jnp.arange(G)[None, :]) - pad_len[:, None]
+    x = embeds
+    ks, vs = [], []
+    for i, p in enumerate(params["layers"]):
+        x, kv = _layer(p, cfg, x, positions, "decode",
+                       (cache.k[i], cache.v[i]), pos, kv_start=pad_len)
+        ks.append(kv[0])
+        vs.append(kv[1])
+    return (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
+            KVCache(jnp.stack(ks), jnp.stack(vs)))
+
+
 def logits(params: dict, hidden: jax.Array) -> jax.Array:
     """lm_head in fp32 (reference train.py:415-416); int8 path for serving."""
     if params.get("lm_head_q") is not None:

@@ -84,6 +84,7 @@ def main():
     n_queries = int(os.environ.get("BENCH_QUERIES", "8"))
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
     batch_size = int(os.environ.get("BENCH_BATCH", "1"))
+    speculative = os.environ.get("BENCH_SPECULATIVE", "0") == "1"
 
     import jax
     import jax.numpy as jnp
@@ -97,7 +98,9 @@ def main():
 
             def run(params, cfg_, batch):
                 out = anyref.generate(params, cfg_, batch,
-                                      max_new_tokens=decode_tokens)
+                                      max_new_tokens=decode_tokens,
+                                      speculative=speculative and
+                                      batch_size == 1)
                 # ship only what the host pipeline consumes: ids + the first
                 # mask slot's LOW-RES logits (the host does both postprocess
                 # resizes, identical to reference sam.py:137-172 numerics)
