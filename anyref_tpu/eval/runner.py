@@ -41,6 +41,11 @@ class Predictor:
         self.buckets = sorted(prompt_buckets)
         self.batch_buckets = sorted(batch_buckets)
         self.speculative = speculative
+        if speculative:
+            from ..models import llama as llama_mod
+            self.params = dict(self.params)
+            self.params["llama"] = llama_mod.transpose_for_serving(
+                self.params["llama"])
         self._jitted = {}
 
     def _fn(self, keyset):

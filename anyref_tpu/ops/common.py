@@ -18,8 +18,12 @@ def linear(p, x: jax.Array) -> jax.Array:
     if "w_q" in p:  # int8-quantized weight (ops/quant.py)
         from .quant import quant_linear
         return quant_linear(p, x)
-    y = jnp.einsum("...i,io->...o", x, p["w"],
-                   preferred_element_type=x.dtype)
+    if "w_t" in p:  # transposed [out, in] storage (serving layout option)
+        y = jnp.einsum("...i,oi->...o", x, p["w_t"],
+                       preferred_element_type=x.dtype)
+    else:
+        y = jnp.einsum("...i,io->...o", x, p["w"],
+                       preferred_element_type=x.dtype)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y

@@ -17,24 +17,49 @@ from jax.sharding import PartitionSpec as P
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
-def _llama_layer_spec() -> dict:
-    col = {"w": P(None, MODEL_AXIS)}   # output-feature sharded
-    row = {"w": P(MODEL_AXIS, None)}   # input-feature sharded
-    return {
-        "input_norm": {"scale": P()},
-        "attn": {"q": dict(col), "k": dict(col), "v": dict(col), "o": dict(row)},
-        "post_attn_norm": {"scale": P()},
-        "mlp": {"gate": dict(col), "up": dict(col), "down": dict(row)},
-    }
+_COL_KEYS = ("q", "k", "v", "gate", "up")   # output-feature sharded
+_ROW_KEYS = ("o", "down")                    # input-feature sharded
 
 
-def llama_spec(num_layers: int) -> dict:
-    return {
+def _proj_spec(name: str, storage_key: str) -> P:
+    """Megatron spec per projection. "w" stores [in, out]; "w_t" stores
+    [out, in] (the serving layout, llama.transpose_for_serving) — the
+    sharded logical dim is the same, its index flips."""
+    col = name in _COL_KEYS
+    if storage_key == "w":
+        return P(None, MODEL_AXIS) if col else P(MODEL_AXIS, None)
+    return P(MODEL_AXIS, None) if col else P(None, MODEL_AXIS)
+
+
+def _llama_layer_spec(layer_params: dict) -> dict:
+    spec = {"input_norm": {"scale": P()}, "post_attn_norm": {"scale": P()},
+            "attn": {}, "mlp": {}}
+    for grp in ("attn", "mlp"):
+        for name, p in layer_params[grp].items():
+            entry = {}
+            for sk in p:
+                if sk in ("w", "w_t"):
+                    entry[sk] = _proj_spec(name, sk)
+                else:
+                    entry[sk] = P()
+            spec[grp][name] = entry
+    return spec
+
+
+def llama_spec(llama_params: dict) -> dict:
+    spec = {
         "embed_tokens": P(MODEL_AXIS, None),
-        "layers": [_llama_layer_spec() for _ in range(num_layers)],
+        "layers": [_llama_layer_spec(lp) for lp in llama_params["layers"]],
         "final_norm": {"scale": P()},
-        "lm_head": P(None, MODEL_AXIS),
     }
+    if llama_params.get("lm_head") is not None:
+        spec["lm_head"] = P(None, MODEL_AXIS)
+    else:
+        spec["lm_head"] = None
+    if "lm_head_q" in llama_params:
+        spec["lm_head_q"] = jax.tree.map(lambda _: P(),
+                                         llama_params["lm_head_q"])
+    return spec
 
 
 def _replicate_like(tree):
@@ -44,7 +69,7 @@ def _replicate_like(tree):
 def anyref_spec(params: dict, cfg) -> dict:
     """Partition specs mirroring an anyref param tree."""
     spec = {k: _replicate_like(v) for k, v in params.items() if k != "llama"}
-    spec["llama"] = llama_spec(cfg.llama.num_layers)
+    spec["llama"] = llama_spec(params["llama"])
     return spec
 
 

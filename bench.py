@@ -84,7 +84,7 @@ def main():
     n_queries = int(os.environ.get("BENCH_QUERIES", "8"))
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
     batch_size = int(os.environ.get("BENCH_BATCH", "1"))
-    speculative = os.environ.get("BENCH_SPECULATIVE", "0") == "1"
+    speculative = os.environ.get("BENCH_SPECULATIVE", "1") == "1"
 
     import jax
     import jax.numpy as jnp
@@ -94,6 +94,12 @@ def main():
     for attempt in ([preset] if preset != "7b" else ["7b", "7b-noaudio"]):
         try:
             cfg, params = build(attempt)
+            if speculative and batch_size == 1:
+                # transposed decoder weights: avoids XLA's transposed-layout
+                # weight copies for the multi-row verify chunks (see
+                # llama.transpose_for_serving)
+                from anyref_tpu.models import llama as llama_mod
+                params["llama"] = llama_mod.transpose_for_serving(params["llama"])
             batch = make_batch(cfg, batch_size=batch_size)
 
             def run(params, cfg_, batch):
@@ -126,7 +132,8 @@ def main():
             qps = batch_size / dt
             print(json.dumps({
                 "metric": (f"e2e_queries_per_sec_per_chip[{attempt},"
-                           f"decode{decode_tokens},batch{batch_size}]"),
+                           f"decode{decode_tokens},batch{batch_size}"
+                           f"{',spec' if speculative and batch_size == 1 else ''}]"),
                 "value": round(qps, 3),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / 5.0, 3),
