@@ -92,6 +92,7 @@ def main():
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
     batch_size = int(os.environ.get("BENCH_BATCH", "1"))
     speculative = os.environ.get("BENCH_SPECULATIVE", "1") == "1"
+    draft_len = int(os.environ.get("BENCH_DRAFT_LEN", "4"))
 
     import jax
     import jax.numpy as jnp
@@ -113,7 +114,8 @@ def main():
                 out = anyref.generate(params, cfg_, batch,
                                       max_new_tokens=decode_tokens,
                                       speculative=speculative and
-                                      batch_size == 1)
+                                      batch_size == 1,
+                                      draft_len=draft_len)
                 # ship only what the host pipeline consumes: ids + the first
                 # mask slot's LOW-RES logits (the host does both postprocess
                 # resizes, identical to reference sam.py:137-172 numerics)
