@@ -80,6 +80,14 @@ class Collator:
             n = min(len(ids), T)
             input_ids[b, :n] = ids[:n]
             labels[b, :n] = labs[:n]
+            # truncation guard: losing the <image> token silently breaks the
+            # multimodal splice (the reference instead asserts total length,
+            # utils/coco_instance.py:221-222)
+            if cfg.tokens.image not in input_ids[b, :n]:
+                raise ValueError(
+                    f"conversation truncated past <image> "
+                    f"({len(ids)} tokens > max_text_len {T}); raise "
+                    f"cfg.max_text_len or shorten the prompt")
 
             masks = inst.get("gt_masks")
             if masks is not None:
