@@ -71,7 +71,11 @@ def loss_fn(lora_params: dict, dense: dict, frozen: dict,
 
 def make_train_step(cfg: AnyRefConfig, lora_cfg: lora_mod.LoraConfig,
                     optimizer: optax.GradientTransformation,
-                    remat: bool = True):
+                    remat: bool = True, grad_accum: int = 1):
+    """One optimizer step. With ``grad_accum`` > 1 the batch carries a
+    leading micro-step axis ([accum, B, ...]); gradients average over
+    micro-steps inside a lax.scan before the single optimizer update
+    (the reference's accelerate gradient_accumulation, train.sh:15)."""
     lf = loss_fn
     if remat:
         lf = jax.checkpoint(
@@ -79,10 +83,30 @@ def make_train_step(cfg: AnyRefConfig, lora_cfg: lora_mod.LoraConfig,
             static_argnums=(3, 4),
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
+    def grads_of(lora_p, dense_p, frozen, batch):
+        return jax.value_and_grad(lf, argnums=(0, 1), has_aux=True)(
+            lora_p, dense_p, frozen, cfg, lora_cfg, batch)
+
     def train_step(state: TrainState, frozen: dict, batch: dict):
-        (loss, metrics), grads = jax.value_and_grad(
-            lf, argnums=(0, 1), has_aux=True)(
-            state.lora, state.dense, frozen, cfg, lora_cfg, batch)
+        if grad_accum == 1:
+            (loss, metrics), grads = grads_of(state.lora, state.dense,
+                                              frozen, batch)
+        else:
+            def micro(acc, mb):
+                (_, m), g = grads_of(state.lora, state.dense, frozen, mb)
+                acc_g, acc_m = acc
+                acc_g = jax.tree.map(lambda a, b: a + b, acc_g, g)
+                acc_m = {k: acc_m[k] + m[k] for k in m}
+                return (acc_g, acc_m), None
+
+            zero_g = jax.tree.map(jnp.zeros_like,
+                                  (state.lora, state.dense))
+            zero_m = {k: jnp.zeros(()) for k in
+                      ("lm_loss", "bce_loss", "dice_loss", "loss")}
+            (grads, metrics), _ = jax.lax.scan(micro, (zero_g, zero_m),
+                                               batch)
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            metrics = {k: v / grad_accum for k, v in metrics.items()}
         updates, opt_state = optimizer.update(
             grads, state.opt_state, (state.lora, state.dense))
         new_lora, new_dense = optax.apply_updates(
@@ -91,6 +115,14 @@ def make_train_step(cfg: AnyRefConfig, lora_cfg: lora_mod.LoraConfig,
         return new_state, metrics
 
     return train_step
+
+
+def stack_microbatches(batches: list) -> dict:
+    """Stack collated batches into one [accum, B, ...] device batch for the
+    accumulating train step."""
+    import numpy as np
+    keys = [k for k in batches[0] if not k.startswith("_")]
+    return {k: jnp.asarray(np.stack([b[k] for b in batches])) for k in keys}
 
 
 def device_batch(batch: dict) -> dict:

@@ -72,7 +72,8 @@ class Trainer:
         self.state, self.frozen = step_mod.init_state(
             jax.random.key(tc.seed), params, self.lora_cfg, self.optimizer)
         self.step_fn = jax.jit(step_mod.make_train_step(
-            cfg, self.lora_cfg, self.optimizer))
+            cfg, self.lora_cfg, self.optimizer,
+            grad_accum=tc.grad_accum_steps))
 
         if dataset is None:
             from ..data.registry import build_train_datasets
@@ -109,7 +110,7 @@ class Trainer:
         tc = self.tc
         step = int(self.state.step)
         t0 = time.time()
-        accum = []
+        micro = []
         data_iter = iter(self.loader)
         while step < tc.max_steps:
             try:
@@ -117,33 +118,32 @@ class Trainer:
             except StopIteration:
                 data_iter = iter(self.loader)
                 continue
-            jbatch = step_mod.device_batch(batch)
+            micro.append(batch)
+            if len(micro) < tc.grad_accum_steps:
+                continue
+            if tc.grad_accum_steps == 1:
+                jbatch = step_mod.device_batch(micro[0])
+            else:
+                jbatch = step_mod.stack_microbatches(micro)
+            micro = []
 
             if tc.profile_steps and step == tc.profile_steps[0]:
                 jax.profiler.start_trace(tc.profile_dir)
             self.state, metrics = self.step_fn(self.state, self.frozen,
                                                jbatch)
-            accum.append(metrics)
             if tc.profile_steps and step == tc.profile_steps[-1]:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
 
-            if len(accum) >= tc.grad_accum_steps:
-                # NOTE: true micro-batch accumulation folds into a larger
-                # per-step batch here (the jitted step already averages);
-                # grad_accum_steps steps of the optimizer = the reference's
-                # effective batch per logged "step".
-                step += 1
-                if step % tc.log_steps == 0:
-                    m = {k: float(np.mean([float(a[k]) for a in accum]))
-                         for k in accum[0]}
-                    dt = time.time() - t0
-                    self.log(step, m, {"steps_per_s": tc.log_steps *
-                                       tc.grad_accum_steps / max(dt, 1e-9)})
-                    t0 = time.time()
-                accum = []
-                if step % tc.save_steps == 0:
-                    ckpt.save_train_state(tc.output_dir, step, self.state)
+            step += 1
+            if step % tc.log_steps == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                self.log(step, m,
+                         {"steps_per_s": tc.log_steps / max(dt, 1e-9)})
+                t0 = time.time()
+            if step % tc.save_steps == 0:
+                ckpt.save_train_state(tc.output_dir, step, self.state)
         return self.state
 
     def merged_params(self) -> dict:
