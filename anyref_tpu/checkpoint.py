@@ -60,8 +60,16 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, f"checkpoint-{entries[-1]}")
 
 
-def restore_train_state(path: str):
-    return _checkpointer().restore(os.path.abspath(path))
+def restore_train_state(path: str, template=None):
+    """``template``: a pytree with the target container types (optax states
+    are namedtuples; orbax alone would restore plain dicts)."""
+    if template is None:
+        return _checkpointer().restore(os.path.abspath(path))
+    restored = _checkpointer().restore(os.path.abspath(path))
+    import jax
+    return jax.tree.unflatten(
+        jax.tree.structure(template),
+        jax.tree.leaves(restored))
 
 
 # ---------------------------------------------------------------------------

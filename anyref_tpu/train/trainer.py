@@ -56,6 +56,7 @@ class TrainConfig:
     profile_steps: tuple = ()          # e.g. (20, 30) traces steps 20..30
     profile_dir: str = "profile"
     mesh_model_axis: int = 1
+    remat: bool = True
 
 
 class Trainer:
@@ -73,7 +74,7 @@ class Trainer:
             jax.random.key(tc.seed), params, self.lora_cfg, self.optimizer)
         self.step_fn = jax.jit(step_mod.make_train_step(
             cfg, self.lora_cfg, self.optimizer,
-            grad_accum=tc.grad_accum_steps))
+            remat=tc.remat, grad_accum=tc.grad_accum_steps))
 
         if dataset is None:
             from ..data.registry import build_train_datasets
@@ -90,7 +91,10 @@ class Trainer:
         if tc.resume:
             latest = ckpt.latest_checkpoint(tc.output_dir)
             if latest:
-                restored = ckpt.restore_train_state(latest)
+                template = {"step": 0, "lora": self.state.lora,
+                            "dense": self.state.dense,
+                            "opt_state": self.state.opt_state}
+                restored = ckpt.restore_train_state(latest, template)
                 self.state = step_mod.TrainState(
                     jnp.asarray(restored["step"]), restored["lora"],
                     restored["dense"], restored["opt_state"])
@@ -110,6 +114,11 @@ class Trainer:
         tc = self.tc
         step = int(self.state.step)
         t0 = time.time()
+        if len(self.loader) == 0:
+            raise ValueError(
+                f"dataset smaller than one global batch "
+                f"({len(self.loader.dataset)} items < batch "
+                f"{self.loader.batch_size}); shrink the batch or the mesh")
         micro = []
         data_iter = iter(self.loader)
         while step < tc.max_steps:
