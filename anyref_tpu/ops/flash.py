@@ -147,7 +147,12 @@ def _causal_kernel(pad_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
     L = k.shape[0]
     qpos = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 0) + i * bq
     kpos = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 1)
-    s = jnp.where((kpos <= qpos) & (kpos >= pad), s, -jnp.inf)
+    # Finite mask value, NOT -inf: left-pad query rows (qpos < pad) are fully
+    # masked, and with -inf they'd produce m=-inf -> s-m=NaN, poisoning every
+    # row of later layers through 0*NaN in p@v. Matches the XLA oracle
+    # (ops/attention.py uses finfo.min via jnp.where on logits).
+    s = jnp.where((kpos <= qpos) & (kpos >= pad), s,
+                  jnp.finfo(jnp.float32).min)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)

@@ -66,3 +66,50 @@ def test_relpos_kernel_window_shape():
                                        interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_causal_kernel_kv_start_no_nan():
+    """Left-pad (kv_start) through the kernel at flash-eligible L.
+
+    Regression for the -inf masking bug: fully-masked left-pad query rows
+    produced m=-inf -> NaN that poisoned ALL rows in later layers via 0*NaN
+    in p@v (ADVICE r1, high). Asserts no NaNs anywhere and exact agreement
+    with the XLA oracle on real (non-pad) rows.
+    """
+    B, nh, L, hd = 2, 2, 256, 64
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((B, nh, L, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, nh, L, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, nh, L, hd)), jnp.float32)
+    kv_start = jnp.asarray([0, 70], jnp.int32)
+
+    got = np.asarray(flash.flash_causal_attention(q, k, v, kv_start=kv_start,
+                                                  interpret=True))
+    assert not np.isnan(got).any(), "kernel emitted NaN (pad-row poisoning)"
+
+    want = np.asarray(causal_attention(q, k, v, kv_start=kv_start,
+                                       use_flash=False))
+    for b in range(B):
+        s = int(kv_start[b])
+        np.testing.assert_allclose(got[b, :, s:], want[b, :, s:],
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_causal_kernel_kv_start_dispatch_path():
+    """causal_attention(use_flash=True) routes kv_start through the kernel
+    (interpret on CPU) and stays NaN-free end to end."""
+    B, nh, L, hd = 2, 2, 128, 64
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((B, nh, L, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, nh, L, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, nh, L, hd)), jnp.float32)
+    kv_start = jnp.asarray([33, 0], jnp.int32)
+    out = np.asarray(causal_attention(q, k, v, kv_start=kv_start,
+                                      use_flash=True))
+    assert not np.isnan(out).any()
+    want = np.asarray(causal_attention(q, k, v, kv_start=kv_start,
+                                       use_flash=False))
+    for b in range(B):
+        s = int(kv_start[b])
+        np.testing.assert_allclose(out[b, :, s:], want[b, :, s:],
+                                   rtol=2e-4, atol=2e-4)
