@@ -69,6 +69,9 @@ class Server:
 
     # -- public API ----------------------------------------------------------
     def submit(self, req: Request) -> Request:
+        if self._stop.is_set():
+            self._finish(req, {"error": "server shut down"})
+            return req
         self._pre_q.put(req)
         return req
 
@@ -76,7 +79,29 @@ class Server:
         return self.submit(Request(image=image, text=text, **kw)).result()
 
     def shutdown(self):
+        """Stop the loops and fail any still-pending requests so no caller
+        blocks forever in Request.result()."""
         self._stop.set()
+        for t in self._threads:
+            t.join(timeout=2.0)
+        for q in (self._pre_q, self._run_q):
+            while True:
+                try:
+                    item = q.get_nowait()
+                except queue.Empty:
+                    break
+                req = item[0] if isinstance(item, tuple) else item
+                self._finish(req, {"error": "server shut down"})
+
+    @staticmethod
+    def _finish(req: Request, result: dict) -> None:
+        req._result = result
+        req._done.set()
+        if req.callback is not None:
+            try:
+                req.callback(result)
+            except Exception:
+                pass
 
     # -- pipeline ------------------------------------------------------------
     def _build_sample(self, req: Request) -> dict:
@@ -109,8 +134,7 @@ class Server:
                 sample = self._build_sample(req)
                 self._run_q.put((req, sample))
             except Exception as e:
-                req._result = {"error": str(e)}
-                req._done.set()
+                self._finish(req, {"error": str(e)})
 
     def _device_loop(self):
         while not self._stop.is_set():
@@ -137,13 +161,11 @@ class Server:
                     text = self.tok.decode(
                         [t for t in output_ids[i].tolist() if t != 2],
                         skip_special=True)
-                    req._result = {
+                    self._finish(req, {
                         "text": text,
                         "mask": binary_mask(masks[i], h, w),
                         "mask_logits": masks[i],
-                    }
-                    req._done.set()
+                    })
             except Exception as e:
                 for req in reqs:
-                    req._result = {"error": str(e)}
-                    req._done.set()
+                    self._finish(req, {"error": str(e)})

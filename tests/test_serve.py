@@ -26,3 +26,31 @@ def test_server_roundtrip():
         assert res["mask"].shape == (60, 80)
         assert isinstance(res["text"], str)
     server.shutdown()
+
+
+def test_shutdown_unblocks_pending_and_rejects_late_submits():
+    """shutdown() must drain queues (no caller hangs in result()) and
+    post-shutdown submits must fail fast (ADVICE r1, low)."""
+    cfg = anyref_tiny()
+    params = anyref.init(jax.random.key(0), cfg, dtype=jnp.float32)
+    server = Server(params, cfg, max_batch=4, max_wait_ms=50.0)
+    server.shutdown()
+    req = server.submit(Request(image=np.zeros((8, 8, 3), np.uint8),
+                                text="x"))
+    res = req.result(timeout=5)
+    assert req._done.is_set()
+    assert res.get("error") == "server shut down"
+
+
+def test_callback_invoked_on_error():
+    cfg = anyref_tiny()
+    params = anyref.init(jax.random.key(0), cfg, dtype=jnp.float32)
+    server = Server(params, cfg)
+    fired = []
+    # request with no modality -> _build_sample raises -> error result
+    req = server.submit(Request(image=np.zeros((8, 8, 3), np.uint8),
+                                callback=fired.append))
+    res = req.result(timeout=30)
+    assert "error" in res
+    assert fired and "error" in fired[0]
+    server.shutdown()
