@@ -60,16 +60,52 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, f"checkpoint-{entries[-1]}")
 
 
+def _rebuild_by_name(template, restored):
+    """Recursively rebuild ``restored`` (orbax's plain dict/list containers)
+    into the container types of ``template``, matching children BY NAME
+    (namedtuple fields / dict keys), never by flatten order — order-based
+    pairing silently permutes same-shaped leaves (e.g. Adam mu/nu) whenever
+    a state's field order differs from orbax's sorted key order."""
+    if template is None:
+        return None
+    if restored is None:
+        # orbax collapses leafless containers (optax EmptyState, empty
+        # tuples) to None; reuse the template's empty container. A template
+        # with real array leaves getting None back is a genuine mismatch.
+        if jax.tree.leaves(template):
+            raise ValueError(
+                f"checkpoint missing data for template node "
+                f"{type(template).__name__}")
+        return template
+    if isinstance(template, tuple) and hasattr(template, "_fields"):
+        # namedtuple (optax states): orbax restores these as dicts keyed by
+        # field name (or as sequences for older layouts)
+        if isinstance(restored, dict):
+            kids = [_rebuild_by_name(getattr(template, f), restored[f])
+                    for f in template._fields]
+        else:
+            kids = [_rebuild_by_name(t, r)
+                    for t, r in zip(template, restored)]
+        return type(template)(*kids)
+    if isinstance(template, dict):
+        return {k: _rebuild_by_name(v, restored[k])
+                for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        if isinstance(restored, dict):
+            restored = [restored[str(i)] for i in range(len(template))]
+        return type(template)(
+            _rebuild_by_name(t, r) for t, r in zip(template, restored))
+    return restored
+
+
 def restore_train_state(path: str, template=None):
     """``template``: a pytree with the target container types (optax states
-    are namedtuples; orbax alone would restore plain dicts)."""
-    if template is None:
-        return _checkpointer().restore(os.path.abspath(path))
+    are namedtuples; orbax alone would restore plain dicts). Children are
+    matched by name, not flatten order."""
     restored = _checkpointer().restore(os.path.abspath(path))
-    import jax
-    return jax.tree.unflatten(
-        jax.tree.structure(template),
-        jax.tree.leaves(restored))
+    if template is None:
+        return restored
+    return _rebuild_by_name(template, restored)
 
 
 # ---------------------------------------------------------------------------

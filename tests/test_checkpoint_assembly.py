@@ -62,3 +62,24 @@ def test_assemble_from_merged_dir(tmp_path):
     h = jnp.ones((1, 2, L.hidden_size), jnp.float32)
     out = project_seg_hidden(params, h)
     assert out.shape == (1, 2, CFG.out_dim)
+
+
+def test_restore_matches_namedtuple_fields_by_name(tmp_path):
+    """Non-alphabetical namedtuple fields must restore by NAME: order-based
+    leaf pairing silently swapped same-shaped leaves (ADVICE r1, low)."""
+    import collections
+    import jax.numpy as jnp
+    import numpy as np
+    from anyref_tpu import checkpoint as ckpt
+
+    Weird = collections.namedtuple("Weird", ["zeta", "alpha"])
+    w = {"w": Weird(zeta=jnp.full((3,), 5.0), alpha=jnp.full((3,), 9.0)),
+         "empty": (), "none": None}
+    path = str(tmp_path / "state")
+    ckpt._checkpointer().save(path, w, force=True)
+    template = {"w": Weird(zeta=jnp.zeros(3), alpha=jnp.zeros(3)),
+                "empty": (), "none": None}
+    r = ckpt.restore_train_state(path, template)
+    np.testing.assert_array_equal(np.asarray(r["w"].zeta), 5.0)
+    np.testing.assert_array_equal(np.asarray(r["w"].alpha), 9.0)
+    assert r["empty"] == () and r["none"] is None
