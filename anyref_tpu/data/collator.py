@@ -111,7 +111,7 @@ class Collator:
 
             meta.append({k: inst.get(k) for k in
                          ("file_name", "height", "width", "image_id",
-                          "gt_classes", "sentence")})
+                          "gt_classes", "sentence", "video_name")})
 
         batch = {
             "input_ids": input_ids,

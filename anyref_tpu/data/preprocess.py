@@ -23,19 +23,38 @@ from ..models.clip_vit import CLIP_PIXEL_MEAN, CLIP_PIXEL_STD
 from ..ops.resize import get_preprocess_shape, resize_bilinear_np
 
 
+def _shortest_edge_size(h: int, w: int, short: int) -> tuple[int, int]:
+    """transformers get_resize_output_image_size(default_to_square=False):
+    shortest edge -> ``short``, other side scaled with int truncation."""
+    s, l = (h, w) if h <= w else (w, h)
+    new_l = int(short * l / s)
+    return (short, new_l) if h <= w else (new_l, short)
+
+
 def preprocess_clip_np(image_rgb_u8: np.ndarray, size: int = 224) -> np.ndarray:
     """[H, W, 3] uint8 -> [3, size, size] CLIP-normalized float32.
 
-    Matches CLIPImageProcessor(do_center_crop=False) + bilinear force-resize
-    (reference utils/coco_instance.py:406-415): HF resizes shortest side to
-    224 then the reference force-resizes to 224x224; the composition equals a
-    direct force-resize up to resampling error, so we do one resize.
+    Exactly the reference pipeline (utils/coco_instance.py:378-415):
+    CLIPImageProcessor(do_center_crop=False) = PIL BICUBIC shortest-edge
+    resize on uint8 (output re-quantized to uint8 by PIL), rescale 1/255,
+    CLIP-normalize; then the clip_resize_wo_crop force-resize to 224x224
+    with torch bilinear align_corners=False (ops/resize.py bilinear is
+    bit-matched to that). Parity-tested against the real CLIPImageProcessor
+    in tests/test_clip_parity.py.
     """
-    x = image_rgb_u8.astype(np.float32).transpose(2, 0, 1)  # [3, H, W]
-    x = resize_bilinear_np(x, size, size)
+    h, w = image_rgb_u8.shape[:2]
+    nh, nw = _shortest_edge_size(h, w, size)
+    if (nh, nw) != (h, w):
+        from PIL import Image
+        im = Image.fromarray(image_rgb_u8).resize((nw, nh), Image.BICUBIC)
+        image_rgb_u8 = np.asarray(im)
+    x = image_rgb_u8.astype(np.float32).transpose(2, 0, 1)  # [3, nh, nw]
     mean = np.asarray(CLIP_PIXEL_MEAN, np.float32).reshape(3, 1, 1)
     std = np.asarray(CLIP_PIXEL_STD, np.float32).reshape(3, 1, 1)
-    return ((x / 255.0) - mean) / std
+    x = ((x / 255.0) - mean) / std
+    if (nh, nw) != (size, size):
+        x = resize_bilinear_np(x, size, size)
+    return x
 
 
 def preprocess_sam_np(image_rgb_u8: np.ndarray,

@@ -72,7 +72,20 @@ def evaluate_avs(predictor: Predictor, tokenizer, data_root: str,
     miou_vals = []
     fscores = []
     group_pred, group_gt = [], []
+    group_video = None
     seen = 0
+
+    def flush_group():
+        if not group_pred:
+            return
+        hs = min(p.shape[0] for p in group_pred)
+        ws = min(p.shape[1] for p in group_pred)
+        fscores.append(f_measure(
+            np.stack([p[:hs, :ws] for p in group_pred]),
+            np.stack([g[:hs, :ws] for g in group_gt])))
+        group_pred.clear()
+        group_gt.clear()
+
     for batch in loader:
         _, masks = predictor.predict(batch)
         gt = batch["_orig_masks"][0]
@@ -83,18 +96,19 @@ def evaluate_avs(predictor: Predictor, tokenizer, data_root: str,
         logits = (masks[0][0] if masks[0] is not None
                   else np.full((h, w), -10.0, np.float32))
         miou_vals.append(mask_iou(logits[None], gt[None]))
+        # F-measure groups are per VIDEO (reference eval_avs_object.py:171-180
+        # relies on 5-frames-per-video loader order; grouping on the video id
+        # stays correct under shuffling/truncation)
+        video = batch["_meta"][0].get("video_name")
+        if group_pred and video != group_video:
+            flush_group()
+        group_video = video
         group_pred.append(logits)
         group_gt.append(gt)
-        if len(group_pred) == 5:  # 5-frame video group (eval_avs:171-180)
-            hs = min(p.shape[0] for p in group_pred)
-            ws = min(p.shape[1] for p in group_pred)
-            fscores.append(f_measure(
-                np.stack([p[:hs, :ws] for p in group_pred]),
-                np.stack([g[:hs, :ws] for g in group_gt])))
-            group_pred, group_gt = [], []
         seen += 1
         if limit is not None and seen >= limit:
             break
+    flush_group()
     result = {"miou": float(np.mean(miou_vals)) if miou_vals else 0.0,
               "fscore": float(np.mean(fscores)) if fscores else 0.0,
               "n": seen}

@@ -174,9 +174,13 @@ def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
 
 def forward(params: dict, cfg: LlamaConfig, embeds: jax.Array,
             positions: Optional[jax.Array] = None,
-            kv_len: Optional[jax.Array] = None) -> jax.Array:
+            kv_len: Optional[jax.Array] = None,
+            return_last_input: bool = False):
     """Full-sequence forward (training / no-cache). Returns post-final-norm
-    hidden states [B, L, D].
+    hidden states [B, L, D]; with ``return_last_input`` also the residual
+    stream entering the FINAL layer [B, L, D] (lets callers recompute that
+    layer's q/k post-hoc — the rephrase feature's attention row, reference
+    anyref.py:372-392 — without materializing [B, H, L, L] probs).
 
     The Pallas flash kernel has no custom VJP yet, so the differentiable
     training path stays on the XLA attention (still fused/causal); the
@@ -185,10 +189,16 @@ def forward(params: dict, cfg: LlamaConfig, embeds: jax.Array,
     if positions is None:
         positions = jnp.arange(L)
     x = embeds
+    last_in = None
     for p in params["layers"]:
+        if p is params["layers"][-1]:
+            last_in = x
         x, _ = _layer(p, cfg, x, positions, "full", kv_len=kv_len,
                       use_flash=False)
-    return rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps)
+    out = rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps)
+    if return_last_input:
+        return out, last_in
+    return out
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
@@ -199,9 +209,10 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
 
 def prefill(params: dict, cfg: LlamaConfig, embeds: jax.Array,
             cache: KVCache,
-            pad_len: Optional[jax.Array] = None) -> tuple[jax.Array, KVCache]:
+            pad_len: Optional[jax.Array] = None,
+            return_last_input: bool = False):
     """Run the prompt, filling cache positions [0, L). Returns
-    (post-norm hidden [B, L, D], cache).
+    (post-norm hidden [B, L, D], cache)[, final-layer input [B, L, D]].
 
     ``pad_len`` [B]: leading (left) pad per row for batched generation —
     rope positions shift so the first real token sits at position 0 and pad
@@ -214,40 +225,51 @@ def prefill(params: dict, cfg: LlamaConfig, embeds: jax.Array,
             jnp.arange(L)[None, :] - pad_len[:, None], 0)
     x = embeds
     ks, vs = [], []
+    last_in = None
     for i, p in enumerate(params["layers"]):
+        if i == len(params["layers"]) - 1:
+            last_in = x
         x, kv = _layer(p, cfg, x, positions, "prefill",
                        (cache.k[i], cache.v[i]), jnp.int32(0),
                        kv_start=pad_len)
         ks.append(kv[0])
         vs.append(kv[1])
-    return (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
-            KVCache(jnp.stack(ks), jnp.stack(vs)))
+    out = (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
+           KVCache(jnp.stack(ks), jnp.stack(vs)))
+    return out + (last_in,) if return_last_input else out
 
 
 def decode_step(params: dict, cfg: LlamaConfig, embeds: jax.Array,
                 pos: jax.Array, cache: KVCache,
-                pad_len: Optional[jax.Array] = None) -> tuple[jax.Array, KVCache]:
+                pad_len: Optional[jax.Array] = None,
+                return_last_input: bool = False):
     """One decode step. embeds: [B, 1, D]; pos: scalar current cache slot.
     With ``pad_len`` the rope position is pos - pad_len[b] per row and
-    left-pad keys are masked. Returns (post-norm hidden [B, 1, D], cache)."""
+    left-pad keys are masked. Returns (post-norm hidden [B, 1, D],
+    cache)[, final-layer input [B, 1, D]]."""
     x = embeds
     if pad_len is None:
         positions = jnp.reshape(pos, (1,))
     else:
         positions = (pos - pad_len)[:, None]
     ks, vs = [], []
+    last_in = None
     for i, p in enumerate(params["layers"]):
+        if i == len(params["layers"]) - 1:
+            last_in = x
         x, kv = _layer(p, cfg, x, positions, "decode",
                        (cache.k[i], cache.v[i]), pos, kv_start=pad_len)
         ks.append(kv[0])
         vs.append(kv[1])
-    return (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
-            KVCache(jnp.stack(ks), jnp.stack(vs)))
+    out = (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
+           KVCache(jnp.stack(ks), jnp.stack(vs)))
+    return out + (last_in,) if return_last_input else out
 
 
 def decode_chunk(params: dict, cfg: LlamaConfig, embeds: jax.Array,
                  pos: jax.Array, cache: KVCache,
-                 pad_len: Optional[jax.Array] = None) -> tuple[jax.Array, KVCache]:
+                 pad_len: Optional[jax.Array] = None,
+                 return_last_input: bool = False):
     """Multi-token decode step (speculative verification): embeds [B, G, D]
     are G consecutive draft positions starting at cache slot ``pos``; writes
     their k/v and attends causally over the cache. Returns (post-norm hidden
@@ -261,13 +283,17 @@ def decode_chunk(params: dict, cfg: LlamaConfig, embeds: jax.Array,
         positions = (pos + jnp.arange(G)[None, :]) - pad_len[:, None]
     x = embeds
     ks, vs = [], []
+    last_in = None
     for i, p in enumerate(params["layers"]):
+        if i == len(params["layers"]) - 1:
+            last_in = x
         x, kv = _layer(p, cfg, x, positions, "decode",
                        (cache.k[i], cache.v[i]), pos, kv_start=pad_len)
         ks.append(kv[0])
         vs.append(kv[1])
-    return (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
-            KVCache(jnp.stack(ks), jnp.stack(vs)))
+    out = (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
+           KVCache(jnp.stack(ks), jnp.stack(vs)))
+    return out + (last_in,) if return_last_input else out
 
 
 def logits(params: dict, hidden: jax.Array) -> jax.Array:

@@ -142,3 +142,15 @@ def test_seg_slot_extraction():
     assert pos[0, :2].tolist() == [1, 4] and valid[0].tolist() == [True, True, False, False]
     assert valid[1].sum() == 0
     assert pos[2, :4].tolist() == [0, 1, 2, 5] and valid[2].all()
+
+
+def test_seg_slots_overflow_drops_extras():
+    """More than max_seg [SEG] tokens: extras must be DROPPED, not clobber
+    slot S-1 with a later position (VERDICT r1 weak #5)."""
+    import jax.numpy as jnp
+    from anyref_tpu.models import anyref
+
+    ids = jnp.asarray([[5, 9, 5, 9, 9, 5, 9]])   # seg=9 at 1, 3, 4, 6
+    pos, valid = anyref._seg_slots(ids, 9, 2)
+    assert pos.tolist() == [[1, 3]]
+    assert valid.tolist() == [[True, True]]

@@ -46,3 +46,27 @@ def test_patch_feature_parity(hf_model):
     want = out.hidden_states[-2][:, 1:].numpy()
     got = np.asarray(clip_vit.apply_patch_features(params, jnp.asarray(x), TINY))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_clip_preprocess_matches_hf_processor():
+    """preprocess_clip_np must reproduce the reference's exact input pipeline
+    (utils/coco_instance.py:378-415): CLIPImageProcessor(do_center_crop=False)
+    -> torch bilinear force-resize to 224x224 (VERDICT r1 item 6)."""
+    import torch
+    import torch.nn.functional as F
+    from transformers import CLIPImageProcessor
+
+    from anyref_tpu.data.preprocess import preprocess_clip_np
+
+    proc = CLIPImageProcessor(do_center_crop=False,
+                              size={"shortest_edge": 224})
+    rng = np.random.default_rng(11)
+    for hw in ((480, 640), (640, 480), (224, 224), (300, 301), (101, 517)):
+        img = rng.integers(0, 256, (*hw, 3), np.uint8)
+        want = proc.preprocess(img, return_tensors="pt")["pixel_values"]
+        want = F.interpolate(want, size=(224, 224), mode="bilinear",
+                             align_corners=False)[0].numpy()
+        got = preprocess_clip_np(img)
+        # residual diff is fp32 summation order inside the bilinear
+        # (ours-as-matmul vs torch interpolate): <=3e-5 on <0.1% of pixels
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)

@@ -30,7 +30,8 @@ def hf_model():
                    head_dim=TINY.head_dim,
                    max_position_embeddings=TINY.max_seq_len,
                    rms_norm_eps=TINY.rms_norm_eps, rope_theta=TINY.rope_theta,
-                   attention_bias=False, tie_word_embeddings=False)
+                   attention_bias=False, tie_word_embeddings=False,
+                   attn_implementation="eager")  # sdpa returns no attentions
     torch.manual_seed(0)
     m = LlamaForCausalLM(cfg)
     with torch.no_grad():
@@ -98,3 +99,82 @@ def test_decode_matches_forward(jax_params):
         np.testing.assert_allclose(
             np.asarray(h[:, 0]), np.asarray(full[:, Lp + i]),
             rtol=1e-5, atol=1e-5)
+
+
+def test_rephrase_attn_row_matches_hf(hf_model, jax_params):
+    """The post-hoc recomputed final-layer attention row (rephrase feature,
+    reference anyref.py:372-392) must equal HF's actual output_attentions:
+    per-head softmax over the causal row, then head mean."""
+    import types
+    from anyref_tpu.models import anyref
+
+    rng = np.random.default_rng(3)
+    L = 14
+    embeds = (rng.standard_normal((2, L, TINY.hidden_size)) * 0.1
+              ).astype(np.float32)
+    with torch.no_grad():
+        out = hf_model(inputs_embeds=torch.from_numpy(embeds),
+                       output_attentions=True, output_hidden_states=True)
+    probs = out.attentions[-1]                      # [B, H, L, L]
+    qpos = 11
+    want_row = probs.mean(1)[:, qpos].numpy()       # [B, L]
+
+    cfg = types.SimpleNamespace(llama=TINY)
+    params = {"llama": jax_params}
+    cache = llama.init_cache(TINY, 2, L, dtype=jnp.float32)
+    _, cache, last_in = llama.prefill(jax_params, TINY, jnp.asarray(embeds),
+                                      cache, return_last_input=True)
+    q_in = jnp.asarray(last_in)[:, qpos]
+    got_row = anyref._last_layer_attn_row(
+        params, cfg, q_in, cache.k[-1],
+        jnp.full((2,), qpos, jnp.int32), jnp.full((2,), qpos, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got_row)[:, :qpos + 1],
+                               want_row[:, :qpos + 1], rtol=2e-4, atol=2e-4)
+    # masked tail must carry ~no mass
+    assert float(np.asarray(got_row)[:, qpos + 1:].max()) < 1e-6
+
+
+def test_rephrase_pool_matches_reference_torch(hf_model, jax_params):
+    """Full training-path rephrase pooling vs the reference's torch lines
+    (anyref.py:372-392) run on HF attentions/hiddens."""
+    import types
+    from anyref_tpu.models import anyref
+
+    rng = np.random.default_rng(4)
+    B, L = 2, 16
+    embeds = (rng.standard_normal((B, L, TINY.hidden_size)) * 0.1
+              ).astype(np.float32)
+    with torch.no_grad():
+        out = hf_model(inputs_embeds=torch.from_numpy(embeds),
+                       output_attentions=True, output_hidden_states=True)
+    hid = out.hidden_states[-1]                     # post-norm [B, L, D]
+
+    seg_pos = np.array([12, 10])                    # [SEG] token positions
+    # labels > 0 from ans_first onward (reference rephrase_start =
+    # where(labels>0)[0][0] - 1)
+    ans_first = np.array([6, 5])
+    labels = np.full((B, L), -100, np.int64)
+    for i in range(B):
+        labels[i, ans_first[i]:seg_pos[i] + 2] = 7
+
+    # reference oracle (torch), lines anyref.py:372-384
+    want = []
+    for i in range(B):
+        rephrase_end = seg_pos[i] - 1               # emitting position
+        rephrase_start = ans_first[i] - 1
+        attn = out.attentions[-1][i].mean(0)        # [L, L]
+        row = attn[rephrase_end, rephrase_start:rephrase_end]
+        row = row / row.sum()
+        want.append((hid[i, rephrase_start:rephrase_end]
+                     * row.unsqueeze(-1)).sum(0).numpy())
+    want = np.stack(want)
+
+    cfg = types.SimpleNamespace(llama=TINY)
+    params = {"llama": jax_params}
+    hidden, last_in = llama.forward(jax_params, TINY, jnp.asarray(embeds),
+                                    return_last_input=True)
+    pooled = anyref._rephrase_pool(
+        params, cfg, hidden, last_in, jnp.asarray(labels),
+        jnp.asarray(seg_pos)[:, None])
+    np.testing.assert_allclose(np.asarray(pooled)[:, 0], want,
+                               rtol=2e-4, atol=2e-4)

@@ -27,7 +27,10 @@ def main():
     p.add_argument("--split", default="test")
     p.add_argument("--inv_dataset", default="refcocog")
     p.add_argument("--roi", action="store_true")
-    p.add_argument("--rephrase_weight", type=float, default=0.0)
+    # default matches the reference's committed __main__ configs: 0.1 for
+    # referseg/coco20i (eval_referseg.py:253, eval_coco20i.py:236), 0.0 for
+    # reason/avs/refer_inv (eval_reason.py:185, eval_refer_inv.py:39)
+    p.add_argument("--rephrase_weight", type=float, default=None)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--preset", default="7b", choices=["7b", "tiny"])
     args = p.parse_args()
@@ -38,6 +41,9 @@ def main():
     from anyref_tpu.tokenizer import AnyRefTokenizer
 
     cfg = anyref_7b() if args.preset == "7b" else anyref_tiny()
+    if args.rephrase_weight is None:
+        args.rephrase_weight = \
+            0.1 if args.task in ("referseg", "coco20i") else 0.0
     cfg = cfg.scaled(rephrase_weight=args.rephrase_weight)
     params = checkpoint.load_params(args.ckpt)
     predictor = Predictor(params, cfg)
