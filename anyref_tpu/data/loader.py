@@ -17,7 +17,13 @@ from typing import Callable, Iterator, Sequence
 class DataLoader:
     def __init__(self, dataset, collate_fn: Callable, batch_size: int = 1,
                  shuffle: bool = False, num_workers: int = 4,
-                 prefetch: int = 4, seed: int = 0, drop_last: bool = False):
+                 prefetch: int = 4, seed: int = 0, drop_last: bool = False,
+                 process_index: int = 0, process_count: int = 1):
+        """``process_index``/``process_count``: multi-host data sharding —
+        every host shuffles the full index list with the same seed, then
+        takes the disjoint strided slice [process_index::process_count]
+        (replaces the per-host sharding accelerate does for the reference's
+        DataLoader, train.sh:1). ``batch_size`` is the PER-HOST batch."""
         self.dataset = dataset
         self.collate = collate_fn
         self.batch_size = batch_size
@@ -26,18 +32,28 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
         self.epoch = 0
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._shard())
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def _shard(self) -> list:
+        idx = list(range(len(self.dataset)))
+        if self.process_count > 1:
+            idx = idx[self.process_index::self.process_count]
+        return idx
 
     def _batches(self) -> Iterator[Sequence[int]]:
         idx = list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(idx)
+        if self.process_count > 1:
+            idx = idx[self.process_index::self.process_count]
         for i in range(0, len(idx), self.batch_size):
             b = idx[i:i + self.batch_size]
             if self.drop_last and len(b) < self.batch_size:

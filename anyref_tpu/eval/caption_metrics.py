@@ -106,3 +106,113 @@ def cider_d(hypotheses: List[str], references: List[List[str]],
             score += s_k / max(len(per_ref), 1)
         scores.append(score / n * 10.0)
     return float(sum(scores) / max(len(scores), 1))
+
+
+# ---------------------------------------------------------------------------
+# METEOR (native; exact + Porter-stem modules)
+# ---------------------------------------------------------------------------
+def _stem(tok: str) -> str:
+    from nltk.stem import PorterStemmer  # pure-code stemmer, no corpus data
+    return PorterStemmer().stem(tok)
+
+
+def _meteor_align(h: List[str], r: List[str]) -> tuple:
+    """Greedy two-stage alignment (exact, then stem), preferring the ref
+    position that continues the previous match so chunks stay minimal.
+    Returns (matches, chunks)."""
+    hs = [_stem(t) for t in h]
+    rs = [_stem(t) for t in r]
+    align = [-1] * len(h)                     # hyp idx -> ref idx
+    used = [False] * len(r)
+    for stage in (0, 1):                      # 0: exact, 1: stem
+        prev = -2
+        for i, tok in enumerate(h):
+            if align[i] >= 0:
+                prev = align[i]
+                continue
+            cands = [j for j in range(len(r)) if not used[j]
+                     and ((r[j] == tok) if stage == 0 else (rs[j] == hs[i]))]
+            if not cands:
+                continue
+            nxt = [j for j in cands if j == prev + 1]
+            j = nxt[0] if nxt else cands[0]
+            align[i] = j
+            used[j] = True
+            prev = j
+    pairs = [(i, j) for i, j in enumerate(align) if j >= 0]
+    matches = len(pairs)
+    chunks = 0
+    for k, (i, j) in enumerate(pairs):
+        if k == 0 or pairs[k - 1][0] != i - 1 or pairs[k - 1][1] != j - 1:
+            chunks += 1
+    return matches, chunks
+
+
+def meteor(hypotheses: List[str], references: List[List[str]],
+           alpha: float = 0.9, beta: float = 3.0,
+           gamma: float = 0.5) -> float:
+    """METEOR (Banerjee & Lavie), exact + Porter-stem matching modules.
+
+    The reference scores region captions with pycocoevalcap's METEOR-1.5 jar
+    (eval_refer_inv.py:204-211), whose synonym/paraphrase modules need
+    WordNet data unavailable here; exact+stem covers the dominant matches.
+    Per-sentence score = max over references; corpus score = mean.
+    """
+    scores = []
+    for hyp, refs in zip(hypotheses, references):
+        h = _tokens(hyp)
+        best = 0.0
+        for ref in refs:
+            r = _tokens(ref)
+            if not h or not r:
+                continue
+            m, ch = _meteor_align(h, r)
+            if m == 0:
+                continue
+            p = m / len(h)
+            rec = m / len(r)
+            fmean = p * rec / (alpha * p + (1 - alpha) * rec)
+            penalty = gamma * (ch / m) ** beta
+            best = max(best, fmean * (1 - penalty))
+        scores.append(best)
+    return float(sum(scores) / max(len(scores), 1))
+
+
+# ---------------------------------------------------------------------------
+# SPICE (native approximation: F1 over shallow semantic tuples)
+# ---------------------------------------------------------------------------
+_SPICE_STOP = frozenset(
+    "a an the is are was were be been being am do does did has have had of to"
+    " in on at by with for from into onto over under and or as that this it"
+    " its there which who whom".split())
+
+
+def _spice_tuples(s: str) -> set:
+    """Shallow proposition tuples: stemmed content unigrams (objects /
+    attributes) + adjacent content-word bigrams (attribute-object and
+    relation pairs). A rule-based stand-in for SPICE's scene-graph parse
+    (the reference's pycocoevalcap SPICE runs a Java dependency parser,
+    out of scope for a native metric; same F1-over-tuples scoring)."""
+    toks = [t for t in _tokens(s) if t and t not in _SPICE_STOP]
+    stems = [_stem(t) for t in toks]
+    tuples = set((t,) for t in stems)
+    tuples.update(zip(stems, stems[1:]))
+    return tuples
+
+
+def spice(hypotheses: List[str], references: List[List[str]]) -> float:
+    """SPICE-style F1 between hypothesis tuples and the union of reference
+    tuples, averaged over the corpus (Anderson et al. 2016 scoring on
+    approximate tuples; see _spice_tuples)."""
+    scores = []
+    for hyp, refs in zip(hypotheses, references):
+        ht = _spice_tuples(hyp)
+        rt = set().union(*(_spice_tuples(r) for r in refs)) if refs else set()
+        if not ht or not rt:
+            scores.append(1.0 if ht == rt else 0.0)
+            continue
+        inter = len(ht & rt)
+        p = inter / len(ht)
+        r = inter / len(rt)
+        scores.append(2 * p * r / (p + r) if p + r > 0 else 0.0)
+    return float(sum(scores) / max(len(scores), 1))

@@ -12,7 +12,7 @@ import numpy as np
 
 from ..data.collator import Collator
 from ..data.loader import DataLoader
-from .caption_metrics import bleu_n, cider_d
+from .caption_metrics import bleu_n, cider_d, meteor, spice
 from .metrics import f_measure, mask_iou
 from .referseg import evaluate_segmentation
 from .runner import Predictor
@@ -144,7 +144,9 @@ def evaluate_refer_inverse(predictor: Predictor, tokenizer, data_root: str,
         seen += 1
         if limit is not None and seen >= limit:
             break
+    # all four pycocoevalcap families (reference eval_refer_inv.py:204-211)
     result = {"bleu4": bleu_n(hyps, refs, 4), "cider": cider_d(hyps, refs),
+              "meteor": meteor(hyps, refs), "spice": spice(hyps, refs),
               "n": seen}
     out_dir = os.path.join(out_root, dataset, split)
     os.makedirs(out_dir, exist_ok=True)

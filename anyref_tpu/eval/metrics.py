@@ -64,8 +64,9 @@ def f_measure(pred_logits: np.ndarray, gt: np.ndarray, pr_num: int = 255,
         tp = (yp * y.reshape(1, -1)).sum(axis=1)
         prec = tp / (yp.sum(axis=1) + 1e-20)
         rec = tp / (y.sum() + 1e-20)
-        f = (1 + beta2) * prec * rec / (beta2 * prec + rec)
-        f[np.isnan(f)] = 0.0
+        denom = beta2 * prec + rec
+        with np.errstate(invalid="ignore", divide="ignore"):
+            f = np.where(denom > 0, (1 + beta2) * prec * rec / denom, 0.0)
         avg_f += f
         n_img += 1
     if n_img == 0:

@@ -146,6 +146,29 @@ def _block(p, x: jax.Array, cfg: SamConfig, window: bool) -> jax.Array:
     return x + h
 
 
+def _block_windowed_resident(p, xw: jax.Array, mask: jax.Array,
+                             cfg: SamConfig) -> jax.Array:
+    """Windowed block on a window-RESIDENT stream [B*nw, ws, ws, C].
+
+    Exactly the reference block: the reference re-pads the post-norm1 values
+    with zeros every layer before attention (image_encoder.py:263-288), which
+    in the resident layout is a multiply by the pad ``mask`` — so pad-window
+    keys/values/queries match the reference's zero pads bit-for-bit while the
+    [B,64,64,C] <-> [B*nw,14,14,C] relayout happens once per windowed RUN
+    instead of twice per layer (the relayouts cost ~21 ms of SAM-H encode).
+    Pad positions accumulate garbage through residual/MLP but are re-masked
+    each layer and cropped at the run-final unpartition, never read.
+    """
+    shortcut = xw
+    h = layer_norm(p["norm1"], xw, eps=cfg.layer_norm_eps) * mask
+    h = _attn_block(p["attn"], h, cfg.encoder_num_heads,
+                    (cfg.window_size, cfg.window_size))
+    x = shortcut + h
+    h = layer_norm(p["norm2"], x, eps=cfg.layer_norm_eps)
+    h = linear(p["mlp"]["lin2"], gelu(linear(p["mlp"]["lin1"], h)))
+    return x + h
+
+
 def patch_embed(p, x: jax.Array, patch: int) -> jax.Array:
     """[B, 3, H, W] -> [B, H/ps, W/ps, D] via reshape+matmul."""
     B, C, H, W = x.shape
@@ -164,8 +187,25 @@ def apply(params: dict, x: jax.Array, cfg: SamConfig) -> jax.Array:
     x = x.astype(params["patch_embed"]["w"].dtype)
     x = patch_embed(params["patch_embed"], x, cfg.patch_size)
     x = x + params["pos_embed"].astype(x.dtype)
+    H, W = x.shape[1], x.shape[2]
+    ws = cfg.window_size
+    pad_mask, _ = _window_partition(
+        jnp.ones((1, H, W, 1), x.dtype), ws)          # [nw, ws, ws, 1]
+    win_x = pad_hw = None
     for i, bp in enumerate(params["blocks"]):
-        x = _block(bp, x, cfg, window=i not in cfg.encoder_global_attn_indexes)
+        if i in cfg.encoder_global_attn_indexes:
+            if win_x is not None:
+                x = _window_unpartition(win_x, ws, pad_hw, (H, W))
+                win_x = None
+            x = _block(bp, x, cfg, window=False)
+        else:
+            if win_x is None:
+                win_x, pad_hw = _window_partition(x, ws)
+                nw = win_x.shape[0] // x.shape[0]
+                mask = jnp.tile(pad_mask, (x.shape[0], 1, 1, 1))
+            win_x = _block_windowed_resident(bp, win_x, mask, cfg)
+    if win_x is not None:
+        x = _window_unpartition(win_x, ws, pad_hw, (H, W))
     # fp32 island for the neck (reference image_encoder.py:118-124)
     y = x.astype(jnp.float32).transpose(0, 3, 1, 2)
     y = conv2d(params["neck"]["conv1"],

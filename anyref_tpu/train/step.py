@@ -117,15 +117,34 @@ def make_train_step(cfg: AnyRefConfig, lora_cfg: lora_mod.LoraConfig,
     return train_step
 
 
-def stack_microbatches(batches: list) -> dict:
+def _globalize(arrays: dict, mesh, batch_dim: int) -> dict:
+    """Multi-host: assemble per-host local batches into global jax.Arrays
+    sharded over the mesh data axis (every host holds its slice; GSPMD sees
+    one global batch). Single-process: plain device arrays."""
+    import jax as _jax
+    if mesh is None or _jax.process_count() == 1:
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+    spec = P(*([None] * batch_dim + [DATA_AXIS]))
+    out = {}
+    for k, v in arrays.items():
+        out[k] = _jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), v)
+    return out
+
+
+def stack_microbatches(batches: list, mesh=None) -> dict:
     """Stack collated batches into one [accum, B, ...] device batch for the
-    accumulating train step."""
+    accumulating train step (batch dim sharded over data when multi-host)."""
     import numpy as np
     keys = [k for k in batches[0] if not k.startswith("_")]
-    return {k: jnp.asarray(np.stack([b[k] for b in batches])) for k in keys}
+    return _globalize({k: np.stack([b[k] for b in batches]) for k in keys},
+                      mesh, batch_dim=1)
 
 
-def device_batch(batch: dict) -> dict:
+def device_batch(batch: dict, mesh=None) -> dict:
     """Drop host-only keys (leading underscore) before feeding jit."""
-    return {k: jnp.asarray(v) for k, v in batch.items()
-            if not k.startswith("_")}
+    import numpy as np
+    return _globalize({k: np.asarray(v) for k, v in batch.items()
+                       if not k.startswith("_")}, mesh, batch_dim=0)

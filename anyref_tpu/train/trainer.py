@@ -81,12 +81,23 @@ class Trainer:
             dataset = build_train_datasets(
                 tc.train_datasets, tc.data_root, cfg, itisseg=tc.itisseg,
                 roi=tc.roi, no_mask=tc.no_mask)
-        batch = tc.per_device_batch_size * self.mesh.shape[DATA_AXIS]
+        # per-HOST batch: the global batch (per-device bs x data-axis size)
+        # split across processes; each host loads a disjoint sample shard
+        # (multi-host equivalent of accelerate's per-host DataLoader,
+        # reference train.sh:1)
+        global_batch = tc.per_device_batch_size * self.mesh.shape[DATA_AXIS]
+        n_proc = jax.process_count()
+        assert global_batch % n_proc == 0, (global_batch, n_proc)
         self.loader = DataLoader(dataset, Collator(self.tokenizer, cfg),
-                                 batch_size=batch, shuffle=True,
-                                 num_workers=8, seed=tc.seed, drop_last=True)
+                                 batch_size=global_batch // n_proc,
+                                 shuffle=True,
+                                 num_workers=8, seed=tc.seed, drop_last=True,
+                                 process_index=jax.process_index(),
+                                 process_count=n_proc)
         os.makedirs(tc.output_dir, exist_ok=True)
-        self._log_file = open(os.path.join(tc.output_dir, "metrics.jsonl"), "a")
+        self._log_file = (
+            open(os.path.join(tc.output_dir, "metrics.jsonl"), "a")
+            if jax.process_index() == 0 else None)
 
         if tc.resume:
             latest = ckpt.latest_checkpoint(tc.output_dir)
@@ -101,6 +112,8 @@ class Trainer:
                 print(f"resumed from {latest}")
 
     def log(self, step: int, metrics: dict, extra: Optional[dict] = None):
+        if self._log_file is None:       # non-zero process in multi-host
+            return
         rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
         if extra:
             rec.update(extra)
@@ -131,9 +144,9 @@ class Trainer:
             if len(micro) < tc.grad_accum_steps:
                 continue
             if tc.grad_accum_steps == 1:
-                jbatch = step_mod.device_batch(micro[0])
+                jbatch = step_mod.device_batch(micro[0], mesh=self.mesh)
             else:
-                jbatch = step_mod.stack_microbatches(micro)
+                jbatch = step_mod.stack_microbatches(micro, mesh=self.mesh)
             micro = []
 
             if tc.profile_steps and step == tc.profile_steps[0]:

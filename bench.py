@@ -92,7 +92,10 @@ def main():
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
     batch_size = int(os.environ.get("BENCH_BATCH", "1"))
     speculative = os.environ.get("BENCH_SPECULATIVE", "1") == "1"
-    draft_len = int(os.environ.get("BENCH_DRAFT_LEN", "4"))
+    # verify-chunk cost is flat in draft length (measured 24-25 ms for
+    # G+1 in 5..33 vs 20.4 ms single-token), so long drafts are ~free and
+    # accept more per pass; 16 measured best (tools/perf_probe.py)
+    draft_len = int(os.environ.get("BENCH_DRAFT_LEN", "16"))
 
     import jax
     import jax.numpy as jnp
@@ -119,26 +122,37 @@ def main():
                 # ship only what the host pipeline consumes: ids + the first
                 # mask slot's LOW-RES logits (the host does both postprocess
                 # resizes, identical to reference sam.py:137-172 numerics)
-                return out.output_ids, out.low_res_masks[:, :1].astype(jnp.bfloat16)
+                return (out.output_ids, out.decode_passes,
+                        out.low_res_masks[:, :1].astype(jnp.bfloat16))
 
             gen = jax.jit(run, static_argnums=(1,))
 
             def fetch(handles):
                 ids = np.asarray(handles[0])
-                canvas = np.asarray(handles[1], np.float32)
-                return ids, canvas
+                passes = int(handles[1])
+                canvas = np.asarray(handles[2], np.float32)
+                return ids, passes, canvas
 
             fetch(gen(params, cfg, batch))  # compile + warmup
-            # 2-deep pipeline: dispatch next before fetching current
+            # throughput: 2-deep pipeline (dispatch next before fetching
+            # current — overlaps host readback with device work)
             t0 = time.time()
             pending = gen(params, cfg, batch)
             for _ in range(n_queries - 1):
                 nxt = gen(params, cfg, batch)
                 fetch(pending)
                 pending = nxt
-            fetch(pending)
+            _, passes, _ = fetch(pending)
             dt = (time.time() - t0) / n_queries
             qps = batch_size / dt
+            # latency: serial per-query wall times (dispatch + full readback)
+            lats = []
+            for _ in range(n_queries):
+                t1 = time.time()
+                fetch(gen(params, cfg, batch))
+                lats.append((time.time() - t1) * 1e3)
+            lats.sort()
+            n_tok = decode_tokens  # random weights never hit EOS
             print(json.dumps({
                 "metric": (f"e2e_queries_per_sec_per_chip[{attempt},"
                            f"decode{decode_tokens},batch{batch_size}"
@@ -146,6 +160,11 @@ def main():
                 "value": round(qps, 3),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / 5.0, 3),
+                "p50_ms": round(lats[len(lats) // 2], 1),
+                "p99_ms": round(lats[min(len(lats) - 1,
+                                         int(len(lats) * 0.99))], 1),
+                "decode_passes": passes,
+                "tokens_per_pass": round(n_tok / max(passes, 1), 2),
             }))
             return
         except Exception as e:  # OOM fallback chain

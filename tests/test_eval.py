@@ -81,3 +81,45 @@ def test_eval_avs_smoke(data_root):  # noqa: F811
                      split="train",
                      out_root=os.path.join(data_root, "eval_out"))
     assert 0.0 <= r["miou"] <= 1.0 and r["n"] == 1
+
+
+def test_meteor():
+    from anyref_tpu.eval.caption_metrics import meteor
+    # identical sentence: P=R=1, one chunk -> penalty 0.5*(1/m)^3 tiny
+    s = "the quick brown fox jumps"
+    assert meteor([s], [[s]]) > 0.99
+    # hand-checked: hyp "the cat sat", ref "the cat sat down":
+    # m=3, chunks=1, P=1, R=3/4, Fmean=.75/(.9+.25*.1*... ) ->
+    # Fmean = (1*.75)/(.9*1+.1*.75)=0.76923, pen=.5*(1/3)^3=.01852
+    got = meteor(["the cat sat"], [["the cat sat down"]])
+    assert abs(got - 0.76923 * (1 - 0.0185185)) < 1e-4
+    # stem module: "jumping" matches "jumps" via Porter stem
+    assert meteor(["the fox jumping"], [["the fox jumps"]]) > \
+        meteor(["the fox leapt"], [["the fox jumps"]])
+    # disorder penalized: same unigrams, scrambled order -> more chunks
+    assert meteor(["fox the jumps"], [["the fox jumps"]]) < \
+        meteor(["the fox jumps"], [["the fox jumps"]])
+    assert meteor(["zzz"], [["the fox"]]) == 0.0
+
+
+def test_spice():
+    from anyref_tpu.eval.caption_metrics import spice
+    s = "a red cat on the mat"
+    assert spice([s], [[s]]) == 1.0
+    partial = spice(["a red cat"], [["a red cat on the mat"]])
+    assert 0.0 < partial < 1.0
+    assert spice(["blue dog"], [["a red cat"]]) == 0.0
+    # attribute binding: "red cat" tuple matches only when adjacent
+    bound = spice(["red cat"], [["red cat"]])
+    unbound = spice(["red mat cat"], [["red cat"]])
+    assert bound > unbound
+
+
+def test_refer_inv_reports_all_metric_families():
+    """evaluate_refer_inverse result carries all four pycocoevalcap families
+    (reference eval_refer_inv.py:204-211)."""
+    import inspect
+    from anyref_tpu.eval import harnesses
+    src = inspect.getsource(harnesses.evaluate_refer_inverse)
+    for key in ("bleu4", "cider", "meteor", "spice"):
+        assert key in src

@@ -145,3 +145,54 @@ def test_point_box_prompt_parity(torch_modules, jax_params):
     dense_j = pe_mod.no_mask_dense(jax_params["prompt_encoder"], CFG, 1)
     np.testing.assert_allclose(np.asarray(dense_j), dense_t.detach().numpy(),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_window_resident_runs_match_per_layer_partition():
+    """The window-RESIDENT block stream (partition hoisted out of runs of
+    windowed layers) must equal the per-layer partition/unpartition path at a
+    grid that exercises zero padding (32 not divisible by window 14)."""
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anyref_tpu.config import SamConfig
+    from anyref_tpu.models.sam import image_encoder as ie
+
+    cfg = SamConfig(encoder_embed_dim=64, encoder_depth=5,
+                    encoder_num_heads=4, encoder_global_attn_indexes=(2,),
+                    image_size=512, patch_size=16, window_size=14,
+                    prompt_embed_dim=32)
+    params = ie.init(jax.random.key(0), cfg, dtype=jnp.float32)
+    # non-zero rel-pos + qkv biases so pad-token bias terms matter
+    for b in params["blocks"]:
+        k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+        b["attn"]["rel_pos_h"] = 0.1 * jax.random.normal(
+            k1, b["attn"]["rel_pos_h"].shape)
+        b["attn"]["rel_pos_w"] = 0.1 * jax.random.normal(
+            k2, b["attn"]["rel_pos_w"].shape)
+        b["attn"]["qkv"]["b"] = 0.1 * jax.random.normal(
+            k3, b["attn"]["qkv"]["b"].shape)
+
+    x = jax.random.normal(jax.random.key(2), (2, 3, 512, 512), jnp.float32)
+
+    got = ie.apply(params, x, cfg)
+
+    # oracle: the original per-layer partition path
+    h = ie.patch_embed(params["patch_embed"], x, cfg.patch_size)
+    h = h + params["pos_embed"].astype(h.dtype)
+    for i, bp in enumerate(params["blocks"]):
+        h = ie._block(bp, h, cfg,
+                      window=i not in cfg.encoder_global_attn_indexes)
+    y = h.astype(jnp.float32).transpose(0, 3, 1, 2)
+    from anyref_tpu.ops.common import conv2d, layer_norm_2d
+    y = conv2d(params["neck"]["conv1"], y, padding="VALID")
+    y = layer_norm_2d(params["neck"]["ln1"], y, eps=cfg.layer_norm_eps)
+    y = conv2d(params["neck"]["conv2"], y, padding=((1, 1), (1, 1)))
+    y = layer_norm_2d(params["neck"]["ln2"], y, eps=cfg.layer_norm_eps)
+    want = y.astype(h.dtype)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -36,7 +36,21 @@ def main():
     p.add_argument("--sam_ckpt", default="SAM/sam_vit_h_4b8939.pth")
     p.add_argument("--imagebind_ckpt", default="ImageBind/imagebind_huge.pth")
     p.add_argument("--profile_steps", default="")
+    # multi-host (pod-slice) launch: pass --multihost on every worker; on
+    # TPU pods jax.distributed.initialize() auto-discovers the coordinator,
+    # elsewhere give --coordinator host:port --num_processes N --process_id I
+    p.add_argument("--multihost", action="store_true")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args()
+
+    if args.multihost:
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
 
     from anyref_tpu import checkpoint
     from anyref_tpu.config import anyref_7b, anyref_tiny
