@@ -80,4 +80,6 @@ class Coco20i(SegDataset):
         return self.make_sample(
             image, img_ref_question(), f"{name}[SEG].",
             gt_mask[None].astype(np.uint8), file_name=rec["file_name"],
-            ref_image=crop, gt_classes=[name])
+            ref_image=crop, gt_classes=[name],
+            orig_ref_img=crop)  # raw crop for qualitative dumps
+                                # (reference eval_coco20i.py:175-178)

@@ -111,7 +111,8 @@ class Collator:
 
             meta.append({k: inst.get(k) for k in
                          ("file_name", "height", "width", "image_id",
-                          "gt_classes", "sentence", "video_name")})
+                          "gt_classes", "sentence", "video_name",
+                          "orig_ref_img")})
 
         batch = {
             "input_ids": input_ids,

@@ -47,7 +47,8 @@ def evaluate_coco20i(predictor: Predictor, tokenizer, data_root: str,
         ds.cfg = predictor.cfg
         out_dir = os.path.join(out_root, "coco20i", str(split))
         results[split] = evaluate_segmentation(
-            predictor, ds, tokenizer, out_dir=out_dir, limit=limit)
+            predictor, ds, tokenizer, out_dir=out_dir, limit=limit,
+            save_qualitative=True)
         print(f"coco20i split {split}: {results[split]}")
     return results
 

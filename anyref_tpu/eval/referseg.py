@@ -22,18 +22,23 @@ from .runner import Predictor, binary_mask
 def evaluate_segmentation(predictor: Predictor, dataset, tokenizer,
                           out_dir: Optional[str] = None,
                           save_masks: bool = False,
+                          save_qualitative: bool = False,
                           limit: Optional[int] = None,
                           batch_size: int = 1,
                           num_workers: int = 4,
                           progress: bool = True) -> dict:
-    """Generic cIoU/gIoU loop shared by refCOCO / ReasonSeg / COCO-20i."""
+    """Generic cIoU/gIoU loop shared by refCOCO / ReasonSeg / COCO-20i.
+
+    ``save_qualitative`` reproduces the reference coco20i harness's output
+    contract (eval_coco20i.py:150-183): generated caption text appended to
+    exp_gen.txt plus per-sample pred/gt/orig/ref PNG dumps."""
     col = Collator(tokenizer, predictor.cfg, train=False)
     loader = DataLoader(dataset, col, batch_size=batch_size,
                         num_workers=num_workers)
     inter_m = AverageMeter("intersection")
     union_m = AverageMeter("union")
     giou_m = AverageMeter("gIoU")
-    if out_dir and save_masks:
+    if out_dir and (save_masks or save_qualitative):
         os.makedirs(os.path.join(out_dir, "pred_masks"), exist_ok=True)
 
     seen = 0
@@ -48,11 +53,28 @@ def evaluate_segmentation(predictor: Predictor, dataset, tokenizer,
             gt = gt[0].astype(np.int32)
             h, w = gt.shape
             pred = binary_mask(masks[b], h, w)
-            if out_dir and save_masks:
+            if out_dir and (save_masks or save_qualitative):
                 from PIL import Image
-                Image.fromarray((pred * 255).astype(np.uint8)).convert("P").save(
-                    os.path.join(out_dir, "pred_masks",
-                                 f"{str(img_id).zfill(4)}.png"))
+                name = str(img_id).zfill(4)
+                pdir = os.path.join(out_dir, "pred_masks")
+                Image.fromarray((pred * 255).astype(np.uint8)).convert(
+                    "P").save(os.path.join(pdir, f"{name}.png"))
+                if save_qualitative:
+                    text = tokenizer.decode(
+                        [t for t in output_ids[b].tolist() if t != 2])
+                    with open(os.path.join(out_dir, "exp_gen.txt"), "a") as f:
+                        f.write(text + "\n")
+                    Image.fromarray((gt.astype(np.uint8) * 255)).convert(
+                        "P").save(os.path.join(pdir, f"{name}_gt.png"))
+                    meta = batch["_meta"][b]
+                    if meta.get("file_name") and os.path.exists(
+                            meta["file_name"]):
+                        Image.open(meta["file_name"]).convert("RGB").save(
+                            os.path.join(pdir, f"{name}_orig.png"))
+                    if meta.get("orig_ref_img") is not None:
+                        Image.fromarray(meta["orig_ref_img"]).convert(
+                            "RGB").save(
+                            os.path.join(pdir, f"{name}_ref.png"))
             inter, union, _ = intersection_and_union(pred, gt, K=2,
                                                      ignore_index=255)
             acc = inter / (union + 1e-5)
@@ -62,7 +84,7 @@ def evaluate_segmentation(predictor: Predictor, dataset, tokenizer,
             giou_m.update(acc, n=1)
             img_id += 1
             seen += 1
-        if progress and seen % 50 == 0:
+        if progress and seen and seen % 50 == 0:
             print(f"  [{seen}] running cIoU="
                   f"{(inter_m.sum / (union_m.sum + 1e-10))[1]:.4f}")
         if limit is not None and seen >= limit:

@@ -163,7 +163,8 @@ def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
     q_offset = write_pos if mode == "decode" else 0
     attn = causal_attention(q, expand_kv(k), expand_kv(v),
                             q_offset=q_offset, kv_len=kv_len,
-                            kv_start=kv_start, use_flash=use_flash)
+                            kv_start=kv_start, use_flash=use_flash,
+                            differentiable=mode == "full")
     x = x + linear(p["attn"]["o"], _merge_heads(attn))
 
     h = rms_norm(p["post_attn_norm"], x, eps=cfg.rms_norm_eps)
@@ -182,9 +183,10 @@ def forward(params: dict, cfg: LlamaConfig, embeds: jax.Array,
     layer's q/k post-hoc — the rephrase feature's attention row, reference
     anyref.py:372-392 — without materializing [B, H, L, L] probs).
 
-    The Pallas flash kernel has no custom VJP yet, so the differentiable
-    training path stays on the XLA attention (still fused/causal); the
-    inference prefill path (prefill()) uses the flash kernel."""
+    Training runs the causal flash kernel through its custom VJP
+    (ops/flash.py flash_causal_attention_diff): neither forward nor backward
+    materializes [B, H, L, L] scores. Sequences pad to the next multiple of
+    128 inside the attention entry; kv_len (rare) falls back to XLA."""
     B, L, _ = embeds.shape
     if positions is None:
         positions = jnp.arange(L)
@@ -194,7 +196,7 @@ def forward(params: dict, cfg: LlamaConfig, embeds: jax.Array,
         if p is params["layers"][-1]:
             last_in = x
         x, _ = _layer(p, cfg, x, positions, "full", kv_len=kv_len,
-                      use_flash=False)
+                      use_flash=kv_len is None)
     out = rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps)
     if return_last_input:
         return out, last_in

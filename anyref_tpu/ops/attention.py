@@ -62,7 +62,8 @@ def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      q_offset: int | jax.Array = 0,
                      kv_len: jax.Array | None = None,
                      kv_start: jax.Array | None = None,
-                     use_flash: bool = True) -> jax.Array:
+                     use_flash: bool = True,
+                     differentiable: bool = False) -> jax.Array:
     """Causal (prefill or single-step decode) attention.
 
     q: [B, heads, Lq, hd]; k/v: [B, heads, Lk, hd]. Query position i attends
@@ -75,10 +76,25 @@ def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Lk = k.shape[2]
     scale = hd ** -0.5
 
-    if (use_flash and Lq > 1 and kv_len is None
-            and _flash.supported_causal(Lq, Lk, hd)):
-        return _flash.flash_causal_attention(q, k, v, kv_start=kv_start,
-                                             interpret=_interpret())
+    if (use_flash and Lq >= 128 and kv_len is None and Lq == Lk):
+        # flash wants 128-aligned lengths; right-pad with zeros (pad keys sit
+        # at positions > every real query, so causality masks them; pad query
+        # rows are sliced off)
+        Lp = -(-Lq // 128) * 128
+        if Lp != Lq:
+            padw = ((0, 0), (0, 0), (0, Lp - Lq), (0, 0))
+            qp, kp, vp = (jnp.pad(t, padw) for t in (q, k, v))
+        else:
+            qp, kp, vp = q, k, v
+        if _flash.supported_causal(Lp, Lp, hd):
+            if differentiable:
+                out = _flash.flash_causal_attention_diff(
+                    qp, kp, vp, kv_start, _interpret())
+            else:
+                out = _flash.flash_causal_attention(qp, kp, vp,
+                                                    kv_start=kv_start,
+                                                    interpret=_interpret())
+            return out[:, :, :Lq]
 
     logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
                         preferred_element_type=jnp.float32) * scale

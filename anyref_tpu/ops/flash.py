@@ -193,3 +193,213 @@ def flash_causal_attention(q, k, v, kv_start=None, interpret: bool = False):
         interpret=interpret,
     )(pad, qf, kf, vf)
     return out.reshape(B, nh, L, hd)
+
+
+# ---------------------------------------------------------------------------
+# differentiable causal flash (training path): fwd + LSE, Pallas backward
+# ---------------------------------------------------------------------------
+def _causal_fwd_kernel(pad_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                       scale: float, bq: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    pad = pad_ref[b]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    L = k.shape[0]
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 0) + i * bq
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 1)
+    s = jnp.where((kpos <= qpos) & (kpos >= pad), s,
+                  jnp.finfo(jnp.float32).min)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (o / jnp.maximum(denom, 1e-20)).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(denom, 1e-20)))[:, 0]
+
+
+def _causal_dq_kernel(pad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      delta_ref, dq_ref, *, scale: float, bq: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)             # [BQ, hd]
+    lse = lse_ref[0, 0][:, None]                   # [BQ, 1]
+    delta = delta_ref[0, 0][:, None]               # [BQ, 1]
+    pad = pad_ref[b]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    L = k.shape[0]
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 0) + i * bq
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 1)
+    mask = (kpos <= qpos) & (kpos >= pad)
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)     # [BQ, L]
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dq = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _causal_dkv_kernel(pad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                       delta_ref, dk_ref, dv_ref, *, scale: float, bk: int):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    q = q_ref[0]                                   # [L, hd]
+    k = k_ref[0]                                   # [BK, hd]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)             # [L, hd]
+    lse = lse_ref[0, 0][None, :]                   # [1, L]
+    delta = delta_ref[0, 0][None, :]               # [1, L]
+    pad = pad_ref[b]
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    L = q.shape[0]
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (bk, L), 0) + j * bk
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (bk, L), 1)
+    mask = (kpos <= qpos) & (kpos >= pad)
+    pt = jnp.where(mask, jnp.exp(st - lse), 0.0)   # [BK, L] = p^T
+    dv = jax.lax.dot_general(pt.astype(do.dtype), do,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dpt = jax.lax.dot_general(v.astype(jnp.float32), do,
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [BK, L]
+    dst = pt * (dpt - delta) * scale
+    dk = jax.lax.dot_general(dst.astype(q.dtype), q,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_causal_fwd(q, k, v, pad, interpret):
+    B, nh, L, hd = q.shape
+    scale = hd ** -0.5
+    BQ = _pick_bq(L, 256)
+    qf = q.reshape(B * nh, L, hd)
+    kf = k.reshape(B * nh, L, hd)
+    vf = v.reshape(B * nh, L, hd)
+    kernel = functools.partial(_causal_fwd_kernel, scale=scale, bq=BQ)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * nh, L // BQ),
+        in_specs=[
+            pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, L, hd), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, L, hd), lambda b, i, *_: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, 1, BQ), lambda b, i, *_: (b, 0, i)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B * nh, L, hd), q.dtype),
+                   jax.ShapeDtypeStruct((B * nh, 1, L), jnp.float32)],
+        interpret=interpret,
+    )(pad, qf, kf, vf)
+    return out.reshape(B, nh, L, hd), lse
+
+
+def _flash_causal_bwd(q, k, v, pad, out, lse, do, interpret):
+    B, nh, L, hd = q.shape
+    scale = hd ** -0.5
+    BQ = _pick_bq(L, 256)
+    qf = q.reshape(B * nh, L, hd)
+    kf = k.reshape(B * nh, L, hd)
+    vf = v.reshape(B * nh, L, hd)
+    dof = do.reshape(B * nh, L, hd)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).reshape(B * nh, 1, L)
+
+    dq_kernel = functools.partial(_causal_dq_kernel, scale=scale, bq=BQ)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * nh, L // BQ),
+            in_specs=[
+                pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, L, hd), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, L, hd), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, 1, BQ), lambda b, i, *_: (b, 0, i)),
+                pl.BlockSpec((1, 1, BQ), lambda b, i, *_: (b, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * nh, L, hd), q.dtype),
+        interpret=interpret,
+    )(pad, qf, kf, vf, dof, lse, delta)
+
+    BK = _pick_bq(L, 256)
+    dkv_kernel = functools.partial(_causal_dkv_kernel, scale=scale, bk=BK)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * nh, L // BK),
+            in_specs=[
+                pl.BlockSpec((1, L, hd), lambda b, j, *_: (b, 0, 0)),
+                pl.BlockSpec((1, BK, hd), lambda b, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, BK, hd), lambda b, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, L, hd), lambda b, j, *_: (b, 0, 0)),
+                pl.BlockSpec((1, 1, L), lambda b, j, *_: (b, 0, 0)),
+                pl.BlockSpec((1, 1, L), lambda b, j, *_: (b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, BK, hd), lambda b, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, BK, hd), lambda b, j, *_: (b, j, 0)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B * nh, L, hd), k.dtype),
+                   jax.ShapeDtypeStruct((B * nh, L, hd), v.dtype)],
+        interpret=interpret,
+    )(pad, qf, kf, vf, dof, lse, delta)
+    return (dq.reshape(B, nh, L, hd), dk.reshape(B, nh, L, hd),
+            dv.reshape(B, nh, L, hd))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_causal_attention_diff(q, k, v, kv_start, interpret=False):
+    """Differentiable causal flash attention (training path; VERDICT r1 #5).
+
+    Same forward as flash_causal_attention; the backward pass runs two
+    Pallas kernels (dq blocked over queries, dk/dv blocked over keys) that
+    recompute probabilities from the saved per-row logsumexp — never
+    materializing [B, H, L, L] scores in HBM, which is what forces the XLA
+    fallback to ~L^2 memory traffic on the train path.
+    kv_start: [B] or None (left-pad mask, as in the inference kernel)."""
+    B, nh, L, hd = q.shape
+    pad = (jnp.zeros((B * nh,), jnp.int32) if kv_start is None
+           else jnp.repeat(kv_start.astype(jnp.int32), nh))
+    out, _ = _flash_causal_fwd(q, k, v, pad, interpret)
+    return out
+
+
+def _diff_fwd(q, k, v, kv_start, interpret):
+    B, nh, L, hd = q.shape
+    pad = (jnp.zeros((B * nh,), jnp.int32) if kv_start is None
+           else jnp.repeat(kv_start.astype(jnp.int32), nh))
+    out, lse = _flash_causal_fwd(q, k, v, pad, interpret)
+    return out, (q, k, v, pad, out, lse)
+
+
+def _diff_bwd(interpret, res, do):
+    q, k, v, pad, out, lse = res
+    dq, dk, dv = _flash_causal_bwd(q, k, v, pad, out, lse, do, interpret)
+    return dq, dk, dv, None
+
+
+flash_causal_attention_diff.defvjp(_diff_fwd, _diff_bwd)

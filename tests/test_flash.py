@@ -113,3 +113,47 @@ def test_causal_kernel_kv_start_dispatch_path():
         s = int(kv_start[b])
         np.testing.assert_allclose(out[b, :, s:], want[b, :, s:],
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_flash_vjp_matches_xla_grads():
+    """Custom-VJP flash (training path) must match XLA attention gradients,
+    including a nonzero kv_start row and a non-128-multiple length that
+    exercises the pad-and-slice path."""
+    B, nh, hd = 2, 2, 32
+    rng = np.random.default_rng(5)
+    for L, kv_start in ((256, jnp.asarray([0, 50], jnp.int32)),
+                        (200, None)):
+        q = jnp.asarray(rng.standard_normal((B, nh, L, hd)) * 0.3, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, nh, L, hd)) * 0.3, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, nh, L, hd)) * 0.3, jnp.float32)
+        ct = jnp.asarray(rng.standard_normal((B, nh, L, hd)), jnp.float32)
+        if kv_start is not None:
+            # fully-masked left-pad query rows have no defined gradient (the
+            # XLA oracle's finite-min masking leaks an artifact uniform-
+            # softmax grad there; the kernel contributes zero). Real training
+            # cotangents at those rows are zero — zero them here too.
+            rows = jnp.arange(L)[None, None, :, None]
+            ct = jnp.where(rows < kv_start[:, None, None, None], 0.0, ct)
+
+        def loss_flash(q, k, v):
+            out = causal_attention(q, k, v, kv_start=kv_start,
+                                   use_flash=True, differentiable=True)
+            return jnp.sum(out * ct)
+
+        def loss_xla(q, k, v):
+            out = causal_attention(q, k, v, kv_start=kv_start,
+                                   use_flash=False)
+            return jnp.sum(out * ct)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gx, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"d{name} L={L}")
+        # forward agreement too
+        of = causal_attention(q, k, v, kv_start=kv_start, use_flash=True,
+                              differentiable=True)
+        ox = causal_attention(q, k, v, kv_start=kv_start, use_flash=False)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ox),
+                                   rtol=2e-4, atol=2e-4)
