@@ -84,6 +84,39 @@ def _relpos_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
     o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
+def _relpos_multihead_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+                             scale: float, kh: int, kw: int, nh: int):
+    """All heads of one window per grid step (statically unrolled): at
+    window scale (L=196) the per-(window, head) grid of the blocked kernel
+    is overhead-bound — 400 sequential steps/layer for SAM-H vs 25 here."""
+    L = kh * kw
+    col = jax.lax.broadcasted_iota(jnp.int32, (kh, L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (kh, L), 0)
+    expand_h = (col // kw == row).astype(jnp.float32)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (kw, L), 1)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (kw, L), 0)
+    expand_w = (colw % kw == roww).astype(jnp.float32)
+    for h in range(nh):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        rh = rh_ref[0, h].astype(jnp.float32)
+        rw = rw_ref[0, h].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + jax.lax.dot_general(rh, expand_h, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(rw, expand_w, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / denom).astype(o_ref.dtype)
+
+
 def flash_relpos_attention(q, k, v, rel_h_table, rel_w_table, size_hw,
                            interpret: bool = False):
     """q/k/v: [B, nh, L, hd]; rel_*_table: [S, S, hd]; returns [B, nh, L, hd].
@@ -97,10 +130,32 @@ def flash_relpos_attention(q, k, v, rel_h_table, rel_w_table, size_hw,
     scale = hd ** -0.5
     qg = q.reshape(B, nh, H, W, hd)
     rh = jnp.einsum("bnhwc,hkc->bnhwk", qg, rel_h_table.astype(q.dtype),
-                    preferred_element_type=jnp.float32).reshape(B * nh, L, H)
+                    preferred_element_type=jnp.float32)
     rw = jnp.einsum("bnhwc,wkc->bnhwk", qg, rel_w_table.astype(q.dtype),
-                    preferred_element_type=jnp.float32).reshape(B * nh, L, W)
+                    preferred_element_type=jnp.float32)
 
+    if L < 1024:
+        # window path: one grid step per window covers every head
+        kernel = functools.partial(_relpos_multihead_kernel, scale=scale,
+                                   kh=H, kw=W, nh=nh)
+        out = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, nh, L, hd), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((1, nh, L, hd), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((1, nh, L, hd), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((1, nh, L, H), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((1, nh, L, W), lambda b: (b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, nh, L, hd), lambda b: (b, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, nh, L, hd), q.dtype),
+            interpret=interpret,
+        )(q, k, v, rh.reshape(B, nh, L, H), rw.reshape(B, nh, L, W))
+        return out
+
+    rh = rh.reshape(B * nh, L, H)
+    rw = rw.reshape(B * nh, L, W)
     qf = q.reshape(B * nh, L, hd)
     kf = k.reshape(B * nh, L, hd)
     vf = v.reshape(B * nh, L, hd)

@@ -49,10 +49,16 @@ class Server:
     def __init__(self, params, cfg: AnyRefConfig,
                  tokenizer: Optional[AnyRefTokenizer] = None,
                  max_batch: int = 1, max_wait_ms: float = 5.0,
-                 preprocess_workers: int = 4):
+                 preprocess_workers: int = 4,
+                 speculative: Optional[bool] = None):
         self.cfg = cfg
         self.tok = tokenizer or AnyRefTokenizer()
-        self.predictor = Predictor(params, cfg)
+        # speculative decoding is the measured-best single-query config
+        # (bench.py: ~5 q/s vs 1.1 plain at decode32); it only applies at
+        # batch 1, where batching can't amortize the weight stream instead
+        if speculative is None:
+            speculative = max_batch == 1
+        self.predictor = Predictor(params, cfg, speculative=speculative)
         self.collator = Collator(self.tok, cfg, train=False)
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0

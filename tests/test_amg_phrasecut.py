@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 from PIL import Image
 
 import jax
@@ -11,6 +12,7 @@ import jax.numpy as jnp
 from anyref_tpu.config import anyref_tiny
 
 
+@pytest.mark.slow
 def test_amg_smoke():
     from anyref_tpu.models import sam as sam_mod
     from anyref_tpu.models.sam.amg import SamAutomaticMaskGenerator, \

@@ -91,6 +91,7 @@ def test_train_forward(params):
     assert np.asarray(out.seg_valid).sum() == 2
 
 
+@pytest.mark.slow
 def test_train_forward_multimodal(params):
     rng = np.random.default_rng(1)
     tok = AnyRefTokenizer()
@@ -108,6 +109,7 @@ def test_train_forward_multimodal(params):
     assert np.isfinite(float(out.loss))
 
 
+@pytest.mark.slow
 def test_generate(params):
     rng = np.random.default_rng(2)
     tok = AnyRefTokenizer()

@@ -2,6 +2,7 @@
 equal one step over the concatenated batch (same mean gradient)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,7 @@ def _inst(rng, phrase):
     }
 
 
+@pytest.mark.slow
 def test_accum_equals_big_batch():
     rng = np.random.default_rng(0)
     col = Collator(AnyRefTokenizer(), CFG, train=True)

@@ -147,6 +147,7 @@ def test_point_box_prompt_parity(torch_modules, jax_params):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_window_resident_runs_match_per_layer_partition():
     """The window-RESIDENT block stream (partition hoisted out of runs of
     windowed layers) must equal the per-layer partition/unpartition path at a
