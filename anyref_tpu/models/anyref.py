@@ -520,7 +520,7 @@ class GenerateOutput(NamedTuple):
 
 def generate(params: dict, cfg: AnyRefConfig, batch: dict,
              max_new_tokens: Optional[int] = None,
-             speculative: bool = False, draft_len: int = 16,
+             speculative: bool = False, draft_len: int = 31,
              lookup_ngram: int = 2) -> GenerateOutput:
     """Greedy decode + SAM mask synthesis (reference anyref.py:647-822).
 

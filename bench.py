@@ -94,8 +94,9 @@ def main():
     speculative = os.environ.get("BENCH_SPECULATIVE", "1") == "1"
     # verify-chunk cost is flat in draft length (measured 24-25 ms for
     # G+1 in 5..33 vs 20.4 ms single-token), so long drafts are ~free and
-    # accept more per pass; 16 measured best (tools/perf_probe.py)
-    draft_len = int(os.environ.get("BENCH_DRAFT_LEN", "16"))
+    # accept more per pass; 31 finishes decode32 in ONE pass at full echo
+    # (measured 5.97 q/s vs 5.06 at draft16)
+    draft_len = int(os.environ.get("BENCH_DRAFT_LEN", "31"))
 
     import jax
     import jax.numpy as jnp
