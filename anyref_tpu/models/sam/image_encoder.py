@@ -130,7 +130,7 @@ def _window_unpartition(wins: jax.Array, ws: int, pad_hw, hw):
 
 def _block(p, x: jax.Array, cfg: SamConfig, window: bool) -> jax.Array:
     shortcut = x
-    x = layer_norm(p["norm1"], x, eps=cfg.layer_norm_eps)
+    x = layer_norm(p["norm1"], x, eps=cfg.layer_norm_eps, fused=True)
     if window:
         H, W = x.shape[1], x.shape[2]
         x, pad_hw = _window_partition(x, cfg.window_size)
@@ -141,7 +141,7 @@ def _block(p, x: jax.Array, cfg: SamConfig, window: bool) -> jax.Array:
         x = _attn_block(p["attn"], x, cfg.encoder_num_heads,
                         (x.shape[1], x.shape[2]))
     x = shortcut + x
-    h = layer_norm(p["norm2"], x, eps=cfg.layer_norm_eps)
+    h = layer_norm(p["norm2"], x, eps=cfg.layer_norm_eps, fused=True)
     h = linear(p["mlp"]["lin2"], gelu(linear(p["mlp"]["lin1"], h)))
     return x + h
 
@@ -160,11 +160,11 @@ def _block_windowed_resident(p, xw: jax.Array, mask: jax.Array,
     each layer and cropped at the run-final unpartition, never read.
     """
     shortcut = xw
-    h = layer_norm(p["norm1"], xw, eps=cfg.layer_norm_eps) * mask
+    h = layer_norm(p["norm1"], xw, eps=cfg.layer_norm_eps, fused=True) * mask
     h = _attn_block(p["attn"], h, cfg.encoder_num_heads,
                     (cfg.window_size, cfg.window_size))
     x = shortcut + h
-    h = layer_norm(p["norm2"], x, eps=cfg.layer_norm_eps)
+    h = layer_norm(p["norm2"], x, eps=cfg.layer_norm_eps, fused=True)
     h = linear(p["mlp"]["lin2"], gelu(linear(p["mlp"]["lin1"], h)))
     return x + h
 

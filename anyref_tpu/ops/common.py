@@ -29,8 +29,22 @@ def linear(p, x: jax.Array) -> jax.Array:
     return y
 
 
-def layer_norm(p, x: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """LayerNorm over the last dim, moments in fp32."""
+def layer_norm(p, x: jax.Array, eps: float = 1e-6,
+               fused: bool = False) -> jax.Array:
+    """LayerNorm over the last dim, moments in fp32.
+
+    ``fused`` routes large aligned shapes through the Pallas kernel
+    (ops/flash.py layer_norm_fused): XLA's convert+reduce fusion costs
+    ~0.36 ms per call at SAM-H scale — 33 ms of the 88 ms encode profiled
+    round 2 — vs HBM-streaming speed in the kernel. Same fp32 math."""
+    if fused:
+        from . import flash as _flash
+        C = x.shape[-1]
+        N = x.size // max(C, 1)
+        if _flash.supported_layer_norm(N, C):
+            interpret = jax.default_backend() != "tpu"
+            return _flash.layer_norm_fused(x, p["scale"], p["bias"], eps,
+                                           interpret=interpret)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)

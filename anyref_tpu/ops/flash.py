@@ -25,6 +25,7 @@ without saving anything.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -458,3 +459,48 @@ def _diff_bwd(interpret, res, do):
 
 
 flash_causal_attention_diff.defvjp(_diff_fwd, _diff_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused LayerNorm (SAM encoder hot path)
+# ---------------------------------------------------------------------------
+def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
+    x = x_ref[...].astype(jnp.float32)                    # [RB, C]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def supported_layer_norm(n: int, c: int) -> bool:
+    return c % 128 == 0 and n >= 8
+
+
+def layer_norm_fused(x, scale, bias, eps: float, interpret: bool = False):
+    """LayerNorm over the last dim with one VMEM-resident pass (read bf16,
+    fp32 moments, write bf16). XLA lowers the convert+reduce as a slow
+    ~0.36 ms fusion per call at SAM-H scale (profiled: 92 such fusions =
+    33 ms of the 88 ms encode); this kernel runs at HBM streaming speed.
+    x: [..., C]; scale/bias: [C]; same fp32 math as ops.common.layer_norm."""
+    shape = x.shape
+    C = shape[-1]
+    N = math.prod(shape[:-1])
+    xf = x.reshape(N, C)
+    RB = 256
+    Np = -(-N // RB) * RB
+    if Np != N:   # pad rows (normalized garbage, sliced off below)
+        xf = jnp.pad(xf, ((0, Np - N), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        grid=(Np // RB,),
+        in_specs=[
+            pl.BlockSpec((RB, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((RB, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, C), x.dtype),
+        interpret=interpret,
+    )(xf, scale.reshape(1, C), bias.reshape(1, C))
+    return out[:N].reshape(shape)

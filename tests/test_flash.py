@@ -157,3 +157,28 @@ def test_flash_vjp_matches_xla_grads():
         ox = causal_attention(q, k, v, kv_start=kv_start, use_flash=False)
         np.testing.assert_allclose(np.asarray(of), np.asarray(ox),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_layer_norm_matches_xla():
+    from anyref_tpu.ops import flash
+    from anyref_tpu.ops.common import layer_norm
+    rng = np.random.default_rng(9)
+    for shape in ((4, 7, 7, 128), (2, 16, 256), (8, 128)):
+        x = jnp.asarray(rng.standard_normal(shape) * 2 + 1, jnp.float32)
+        p = {"scale": jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32),
+             "bias": jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)}
+        want = layer_norm(p, x, eps=1e-6)
+        got = flash.layer_norm_fused(x, p["scale"], p["bias"], 1e-6,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+    # bf16 storage path
+    xb = jnp.asarray(rng.standard_normal((4, 256)), jnp.bfloat16)
+    pb = {"scale": jnp.ones((256,), jnp.bfloat16),
+          "bias": jnp.zeros((256,), jnp.bfloat16)}
+    want = layer_norm(pb, xb, eps=1e-6)
+    got = flash.layer_norm_fused(xb, pb["scale"], pb["bias"], 1e-6,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-2, atol=1e-2)
