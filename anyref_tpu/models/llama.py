@@ -135,11 +135,13 @@ def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
            kv_len: Optional[jax.Array] = None,
            kv_start: Optional[jax.Array] = None,
            use_flash: bool = True,
+           fused_norms: bool = False,
            ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
     """mode: "full" (training, no cache), "prefill" (fill cache, attend over
     the fresh prompt keys — keeps the flash path), "decode" (one step
     against the cache)."""
-    h = rms_norm(p["input_norm"], x, eps=cfg.rms_norm_eps)
+    h = rms_norm(p["input_norm"], x, eps=cfg.rms_norm_eps,
+                 fused=fused_norms)
     q = _split_heads(linear(p["attn"]["q"], h), cfg.num_heads, cfg.head_dim)
     k = _split_heads(linear(p["attn"]["k"], h), cfg.num_kv_heads, cfg.head_dim)
     v = _split_heads(linear(p["attn"]["v"], h), cfg.num_kv_heads, cfg.head_dim)
@@ -167,7 +169,8 @@ def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
                             differentiable=mode == "full")
     x = x + linear(p["attn"]["o"], _merge_heads(attn))
 
-    h = rms_norm(p["post_attn_norm"], x, eps=cfg.rms_norm_eps)
+    h = rms_norm(p["post_attn_norm"], x, eps=cfg.rms_norm_eps,
+                 fused=fused_norms)
     h = linear(p["mlp"]["down"],
                jax.nn.silu(linear(p["mlp"]["gate"], h)) * linear(p["mlp"]["up"], h))
     return x + h, new_kv
@@ -233,7 +236,7 @@ def prefill(params: dict, cfg: LlamaConfig, embeds: jax.Array,
             last_in = x
         x, kv = _layer(p, cfg, x, positions, "prefill",
                        (cache.k[i], cache.v[i]), jnp.int32(0),
-                       kv_start=pad_len)
+                       kv_start=pad_len, fused_norms=True)
         ks.append(kv[0])
         vs.append(kv[1])
     out = (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),

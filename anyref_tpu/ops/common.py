@@ -34,9 +34,12 @@ def layer_norm(p, x: jax.Array, eps: float = 1e-6,
     """LayerNorm over the last dim, moments in fp32.
 
     ``fused`` routes large aligned shapes through the Pallas kernel
-    (ops/flash.py layer_norm_fused): XLA's convert+reduce fusion costs
-    ~0.36 ms per call at SAM-H scale — 33 ms of the 88 ms encode profiled
-    round 2 — vs HBM-streaming speed in the kernel. Same fp32 math."""
+    (ops/flash.py layer_norm_fused). Measured on v5e: the kernel itself runs
+    at HBM-streaming speed (~0.06 ms vs 0.36 ms for XLA's convert+reduce
+    fusion at SAM-H scale), but end-to-end encode time is NEUTRAL — XLA
+    redistributes the surrounding per-layer fusion cost (see BASELINE.md
+    profile). Kept because it makes norm cost explicit and independent of
+    XLA fusion heuristics. Same fp32 math."""
     if fused:
         from . import flash as _flash
         C = x.shape[-1]
@@ -65,7 +68,19 @@ def layer_norm_2d(p, x: jax.Array, eps: float = 1e-6) -> jax.Array:
     return y.astype(x.dtype)
 
 
-def rms_norm(p, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+def rms_norm(p, x: jax.Array, eps: float = 1e-6,
+             fused: bool = False) -> jax.Array:
+    """``fused`` routes large aligned shapes through the Pallas kernel on
+    INFERENCE paths (no VJP; training keeps XLA). Measured e2e-neutral on
+    prefill (47 ms either way) — see layer_norm. Same fp32 math."""
+    if fused:
+        from . import flash as _flash
+        C = x.shape[-1]
+        N = x.size // max(C, 1)
+        if _flash.supported_layer_norm(N, C):
+            interpret = jax.default_backend() != "tpu"
+            return _flash.rms_norm_fused(x, p["scale"], eps,
+                                         interpret=interpret)
     xf = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
     y = xf * jax.lax.rsqrt(var + eps)

@@ -504,3 +504,36 @@ def layer_norm_fused(x, scale, bias, eps: float, interpret: bool = False):
         interpret=interpret,
     )(xf, scale.reshape(1, C), bias.reshape(1, C))
     return out[:N].reshape(shape)
+
+
+def _rms_kernel(x_ref, scale_ref, o_ref, *, eps: float):
+    x = x_ref[...].astype(jnp.float32)                    # [RB, C]
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    y = x * jax.lax.rsqrt(var + eps) * scale_ref[0].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def rms_norm_fused(x, scale, eps: float, interpret: bool = False):
+    """RMSNorm over the last dim, VMEM-resident (inference paths only — no
+    VJP; the training forward keeps the XLA norm). Same fp32 math as
+    ops.common.rms_norm."""
+    shape = x.shape
+    C = shape[-1]
+    N = math.prod(shape[:-1])
+    xf = x.reshape(N, C)
+    RB = 256
+    Np = -(-N // RB) * RB
+    if Np != N:
+        xf = jnp.pad(xf, ((0, Np - N), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_rms_kernel, eps=eps),
+        grid=(Np // RB,),
+        in_specs=[
+            pl.BlockSpec((RB, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((RB, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, C), x.dtype),
+        interpret=interpret,
+    )(xf, scale.reshape(1, C))
+    return out[:N].reshape(shape)

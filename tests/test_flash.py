@@ -182,3 +182,16 @@ def test_fused_layer_norm_matches_xla():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_fused_rms_norm_matches_xla():
+    from anyref_tpu.ops import flash
+    from anyref_tpu.ops.common import rms_norm
+    rng = np.random.default_rng(10)
+    for shape in ((2, 640, 128), (16, 256)):
+        x = jnp.asarray(rng.standard_normal(shape) * 2, jnp.float32)
+        p = {"scale": jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)}
+        want = rms_norm(p, x, eps=1e-6)
+        got = flash.rms_norm_fused(x, p["scale"], 1e-6, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
