@@ -44,6 +44,9 @@ def timeit(fn, *args, n=8, warmup=2):
 
 
 def main():
+    if any(a in ("-h", "--help") for a in sys.argv[1:]):
+        print(__doc__)
+        return
     stages = set(sys.argv[1:]) or {"encoders", "prefill", "decode", "chunk",
                                    "generate"}
     import jax
