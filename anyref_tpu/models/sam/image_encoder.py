@@ -18,6 +18,8 @@ TPU-first choices:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,16 +92,35 @@ def _get_rel_pos_table(size: int, rel_pos: jax.Array) -> jax.Array:
 
 def _attn_block(p, x: jax.Array, num_heads: int, size_hw: tuple[int, int]) -> jax.Array:
     """Attention over [B, H, W, C] tokens with decomposed rel-pos bias."""
+    from ...ops import flash as _flash
+
     B, H, W, C = x.shape
     head_dim = C // num_heads
-    qkv = linear(p["qkv"], x).reshape(B, H * W, 3, num_heads, head_dim)
+    rh = _get_rel_pos_table(size_hw[0], p["rel_pos_h"])  # [H, H, hd]
+    rw = _get_rel_pos_table(size_hw[1], p["rel_pos_w"])  # [W, W, hd]
+
+    L = H * W
+    if (L < 1024 and _flash.supported_relpos(*size_hw, head_dim)
+            and os.environ.get("ANYREF_QKV_WINDOW_KERNEL") == "1"):
+        # window path variant: the kernel consumes the raw fused-QKV tensor
+        # and slices heads as VMEM columns — the [B,L,3C] -> [B,nh,L,hd] x3
+        # head-split relayouts (and the output merge) never hit HBM.
+        # Measured 82 ms vs 88 ms SAM-H encode STANDALONE, but inside the
+        # full 7B generate program the TPU backend aborts (opaque
+        # "ABORTED"), so it is opt-in until that interaction is understood;
+        # equivalence is pinned by test_relpos_qkv_kernel_matches_split_path.
+        qkv = linear(p["qkv"], x).reshape(B, L, 3 * C)
+        out = _flash.flash_relpos_attention_qkv(
+            qkv, rh, rw, size_hw, num_heads,
+            interpret=jax.default_backend() != "tpu")
+        return linear(p["proj"], out.reshape(B, H, W, C))
+
+    qkv = linear(p["qkv"], x).reshape(B, L, 3, num_heads, head_dim)
     q, k, v = jnp.moveaxis(qkv, 2, 0)          # [B, HW, heads, hd]
     q = q.transpose(0, 2, 1, 3)                # [B, heads, HW, hd]
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
 
-    rh = _get_rel_pos_table(size_hw[0], p["rel_pos_h"])  # [H, H, hd]
-    rw = _get_rel_pos_table(size_hw[1], p["rel_pos_w"])  # [W, W, hd]
     out = attention_with_decomposed_relpos(q, k, v, rh, rw, size_hw)
     out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
     return linear(p["proj"], out)

@@ -537,3 +537,74 @@ def rms_norm_fused(x, scale, eps: float, interpret: bool = False):
         interpret=interpret,
     )(xf, scale.reshape(1, C))
     return out[:N].reshape(shape)
+
+
+def _relpos_qkv_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
+                       kh: int, kw: int, nh: int, hd: int):
+    """Window attention straight off the fused QKV tensor [L, 3C]: per-head
+    q/k/v are STATIC COLUMN SLICES in VMEM, so the [B,L,3C] ->
+    [B,nh,L,hd] x3 head-split relayouts (and the output merge) never touch
+    HBM. One grid step per window, heads unrolled."""
+    L = kh * kw
+    C = nh * hd
+    col = jax.lax.broadcasted_iota(jnp.int32, (kh, L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (kh, L), 0)
+    expand_h = (col // kw == row).astype(jnp.float32)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (kw, L), 1)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (kw, L), 0)
+    expand_w = (colw % kw == roww).astype(jnp.float32)
+    for h in range(nh):
+        q = qkv_ref[0][:, h * hd:(h + 1) * hd]
+        k = qkv_ref[0][:, C + h * hd:C + (h + 1) * hd]
+        v = qkv_ref[0][:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        rh = rh_ref[0, h].astype(jnp.float32)
+        rw = rw_ref[0, h].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + jax.lax.dot_general(rh, expand_h, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(rw, expand_w, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd:(h + 1) * hd] = (o / denom).astype(o_ref.dtype)
+
+
+def flash_relpos_attention_qkv(qkv, rel_h_table, rel_w_table, size_hw,
+                               num_heads: int, interpret: bool = False):
+    """Window attention from the raw fused-QKV tensor.
+
+    qkv: [B, L, 3C] (the qkv projection output, heads NOT split);
+    rel_*_table: [S, S, hd]. Returns [B, L, C] with heads already merged —
+    directly consumable by the output projection.
+    """
+    H, W = size_hw
+    B, L, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    scale = hd ** -0.5
+    # bias factors from the q slice; einsum reads [B, L, nh, hd] without a
+    # materialized head transpose
+    qg = qkv[..., :C].reshape(B, H, W, num_heads, hd)
+    rh = jnp.einsum("bhwnc,hkc->bnhwk", qg, rel_h_table.astype(qkv.dtype),
+                    preferred_element_type=jnp.float32)
+    rw = jnp.einsum("bhwnc,wkc->bnhwk", qg, rel_w_table.astype(qkv.dtype),
+                    preferred_element_type=jnp.float32)
+    kernel = functools.partial(_relpos_qkv_kernel, scale=scale, kh=H, kw=W,
+                               nh=num_heads, hd=hd)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, C3), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, num_heads, L, H), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, num_heads, L, W), lambda b: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, L, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv, rh.reshape(B, num_heads, L, H), rw.reshape(B, num_heads, L, W))

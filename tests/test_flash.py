@@ -195,3 +195,25 @@ def test_fused_rms_norm_matches_xla():
         got = flash.rms_norm_fused(x, p["scale"], 1e-6, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_relpos_qkv_kernel_matches_split_path():
+    """The QKV-direct window kernel (heads as VMEM column slices) must equal
+    the head-split kernel/oracle path."""
+    H = W = 14
+    hd, nh, B = 80, 4, 3
+    L, C = H * W, 4 * 80
+    rng = np.random.default_rng(12)
+    qkv = jnp.asarray(rng.standard_normal((B, L, 3 * C)) * 0.3, jnp.float32)
+    rh = jnp.asarray(rng.standard_normal((H, H, hd)) * 0.1, jnp.float32)
+    rw = jnp.asarray(rng.standard_normal((W, W, hd)) * 0.1, jnp.float32)
+
+    got = flash.flash_relpos_attention_qkv(qkv, rh, rw, (H, W), nh,
+                                           interpret=True)
+    # oracle: split heads, run the reference attention, merge
+    q, k, v = (qkv[..., i * C:(i + 1) * C].reshape(B, L, nh, hd)
+               .transpose(0, 2, 1, 3) for i in range(3))
+    want = attention_with_decomposed_relpos(q, k, v, rh, rw, (H, W),
+                                            use_flash=False)
+    want = np.asarray(want).transpose(0, 2, 1, 3).reshape(B, L, C)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
