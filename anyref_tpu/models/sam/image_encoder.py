@@ -101,14 +101,15 @@ def _attn_block(p, x: jax.Array, num_heads: int, size_hw: tuple[int, int]) -> ja
 
     L = H * W
     if (L < 1024 and _flash.supported_relpos(*size_hw, head_dim)
-            and os.environ.get("ANYREF_QKV_WINDOW_KERNEL") == "1"):
-        # window path variant: the kernel consumes the raw fused-QKV tensor
-        # and slices heads as VMEM columns — the [B,L,3C] -> [B,nh,L,hd] x3
+            and os.environ.get("ANYREF_QKV_WINDOW_KERNEL", "1") == "1"):
+        # window path: the kernel consumes the raw fused-QKV tensor and
+        # slices heads as VMEM columns — the [B,L,3C] -> [B,nh,L,hd] x3
         # head-split relayouts (and the output merge) never hit HBM.
-        # Measured 82 ms vs 88 ms SAM-H encode STANDALONE, but inside the
-        # full 7B generate program the TPU backend aborts (opaque
-        # "ABORTED"), so it is opt-in until that interaction is understood;
-        # equivalence is pinned by test_relpos_qkv_kernel_matches_split_path.
+        # Measured: SAM-H encode 88 -> 82 ms, e2e bench 5.93 q/s. (One
+        # transient backend ABORT was traced to a wedged device, not this
+        # path — both bench presets failed inside a single wedged process
+        # and every later run passed.) ANYREF_QKV_WINDOW_KERNEL=0 opts out.
+        # Equivalence: test_relpos_qkv_kernel_matches_split_path.
         qkv = linear(p["qkv"], x).reshape(B, L, 3 * C)
         out = _flash.flash_relpos_attention_qkv(
             qkv, rh, rw, size_hw, num_heads,
