@@ -171,6 +171,18 @@ def main():
         except Exception as e:  # OOM fallback chain
             sys.stderr.write(f"bench[{attempt}] failed: {str(e)[:400]}\n")
             continue
+    # A transient "ABORTED: TPU backend error" has been observed to wedge an
+    # entire process (every attempt in it fails) while fresh processes pass;
+    # retry once in a clean subprocess before reporting 0.
+    if os.environ.get("BENCH_RETRIED") != "1":
+        sys.stderr.write("bench: all attempts failed; retrying once in a "
+                         "fresh process\n")
+        import subprocess
+        env = dict(os.environ, BENCH_RETRIED="1")
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, stdout=subprocess.PIPE, text=True)
+        sys.stdout.write(proc.stdout)
+        return
     print(json.dumps({"metric": "e2e_queries_per_sec_per_chip",
                       "value": 0.0, "unit": "queries/s",
                       "vs_baseline": 0.0}))
