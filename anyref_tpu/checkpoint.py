@@ -81,18 +81,40 @@ def _rebuild_by_name(template, restored):
         # namedtuple (optax states): orbax restores these as dicts keyed by
         # field name (or as sequences for older layouts)
         if isinstance(restored, dict):
+            missing = [f for f in template._fields if f not in restored]
+            if missing:
+                raise ValueError(
+                    f"checkpoint missing fields {missing} for "
+                    f"{type(template).__name__}")
             kids = [_rebuild_by_name(getattr(template, f), restored[f])
                     for f in template._fields]
         else:
+            if len(restored) != len(template):
+                raise ValueError(
+                    f"checkpoint {type(template).__name__} length "
+                    f"{len(restored)} != template {len(template)}")
             kids = [_rebuild_by_name(t, r)
                     for t, r in zip(template, restored)]
         return type(template)(*kids)
     if isinstance(template, dict):
+        missing = [k for k in template if k not in restored]
+        if missing:
+            raise ValueError(f"checkpoint missing keys {missing}")
         return {k: _rebuild_by_name(v, restored[k])
                 for k, v in template.items()}
     if isinstance(template, (list, tuple)):
         if isinstance(restored, dict):
-            restored = [restored[str(i)] for i in range(len(template))]
+            try:
+                restored = [restored[str(i)] for i in range(len(template))]
+            except KeyError as e:
+                raise ValueError(
+                    f"checkpoint missing sequence index {e} for template "
+                    f"of length {len(template)}") from e
+        if len(restored) != len(template):
+            # order-based zip would silently truncate a layer-count mismatch
+            raise ValueError(
+                f"checkpoint sequence length {len(restored)} != template "
+                f"length {len(template)}")
         return type(template)(
             _rebuild_by_name(t, r) for t, r in zip(template, restored))
     return restored

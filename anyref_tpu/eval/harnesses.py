@@ -77,7 +77,12 @@ def evaluate_avs(predictor: Predictor, tokenizer, data_root: str,
     seen = 0
 
     def flush_group():
-        if not group_pred:
+        # Reference eval_avs_object.py:171-180 scores strictly 5-frame video
+        # groups; partial groups (limit truncation / trailing flush) are
+        # dropped, not scored (ADVICE r2).
+        if len(group_pred) < 5:
+            group_pred.clear()
+            group_gt.clear()
             return
         hs = min(p.shape[0] for p in group_pred)
         ws = min(p.shape[1] for p in group_pred)
@@ -98,8 +103,10 @@ def evaluate_avs(predictor: Predictor, tokenizer, data_root: str,
                   else np.full((h, w), -10.0, np.float32))
         miou_vals.append(mask_iou(logits[None], gt[None]))
         # F-measure groups are per VIDEO (reference eval_avs_object.py:171-180
-        # relies on 5-frames-per-video loader order; grouping on the video id
-        # stays correct under shuffling/truncation)
+        # relies on 5-frames-per-video loader order). Grouping on the video id
+        # assumes each video's frames arrive contiguously (eval loaders are
+        # unshuffled); a shuffled loader would fragment videos into sub-5
+        # runs, which flush_group drops rather than mis-scores.
         video = batch["_meta"][0].get("video_name")
         if group_pred and video != group_video:
             flush_group()
@@ -145,9 +152,17 @@ def evaluate_refer_inverse(predictor: Predictor, tokenizer, data_root: str,
         seen += 1
         if limit is not None and seen >= limit:
             break
-    # all four pycocoevalcap families (reference eval_refer_inv.py:204-211)
+    # all four pycocoevalcap families (reference eval_refer_inv.py:204-211);
+    # meteor/spice need nltk's PorterStemmer — degrade to NaN if absent
+    # rather than failing the whole eval (ADVICE r2)
+    try:
+        met, spc = meteor(hyps, refs), spice(hyps, refs)
+    except ImportError:
+        import warnings
+        warnings.warn("nltk unavailable: meteor/spice reported as NaN")
+        met = spc = float("nan")
     result = {"bleu4": bleu_n(hyps, refs, 4), "cider": cider_d(hyps, refs),
-              "meteor": meteor(hyps, refs), "spice": spice(hyps, refs),
+              "meteor": met, "spice": spc,
               "n": seen}
     out_dir = os.path.join(out_root, dataset, split)
     os.makedirs(out_dir, exist_ok=True)

@@ -76,7 +76,8 @@ def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Lk = k.shape[2]
     scale = hd ** -0.5
 
-    if (use_flash and Lq >= 128 and kv_len is None and Lq == Lk):
+    if (use_flash and Lq >= 128 and kv_len is None and Lq == Lk
+            and isinstance(q_offset, int) and q_offset == 0):
         # flash wants 128-aligned lengths; right-pad with zeros (pad keys sit
         # at positions > every real query, so causality masks them; pad query
         # rows are sliced off)

@@ -15,8 +15,10 @@ torchaudio.compliance.kaldi.fbank semantics:
   * symmetric hann window, FFT padded to 512;
   * power spectrum; mel banks on 256 fft bins, kaldi low_freq=20,
     high_freq=nyquist; log(max(e, eps)).
-(torchaudio is not installed in this environment; validated against the
-published kaldi algorithm and shape/statistics tests.)
+(torchaudio is not installed in this environment; validated element-wise
+against an independent float64 NumPy transcription of the torchaudio kaldi
+algorithm — tests/test_imagebind_parity.py oracle_kaldi_fbank — including
+snip_edges boundaries, preemph first-sample replication, and the log floor.)
 """
 
 from __future__ import annotations

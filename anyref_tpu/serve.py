@@ -66,6 +66,10 @@ class Server:
         self._pre_q: "queue.Queue" = queue.Queue()
         self._run_q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # orders submit's stop-check-then-enqueue against shutdown's
+        # stop-set-then-drain, so no request can land in _pre_q after the
+        # drain (ADVICE r2)
+        self._submit_lock = threading.Lock()
         self._threads = [
             threading.Thread(target=self._preprocess_loop, daemon=True)
             for _ in range(preprocess_workers)
@@ -75,10 +79,11 @@ class Server:
 
     # -- public API ----------------------------------------------------------
     def submit(self, req: Request) -> Request:
-        if self._stop.is_set():
-            self._finish(req, {"error": "server shut down"})
-            return req
-        self._pre_q.put(req)
+        with self._submit_lock:
+            if self._stop.is_set():
+                self._finish(req, {"error": "server shut down"})
+                return req
+            self._pre_q.put(req)
         return req
 
     def segment(self, image, text=None, **kw) -> dict:
@@ -87,7 +92,8 @@ class Server:
     def shutdown(self):
         """Stop the loops and fail any still-pending requests so no caller
         blocks forever in Request.result()."""
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()
         for t in self._threads:
             t.join(timeout=2.0)
         for q in (self._pre_q, self._run_q):
