@@ -166,6 +166,10 @@ def main():
                                          int(len(lats) * 0.99))], 1),
                 "decode_passes": passes,
                 "tokens_per_pass": round(n_tok / max(passes, 1), 2),
+                # nonzero retries = a whole prior process failed (e.g. the
+                # transient TPU ABORT) and this result came from the fresh
+                # retry process — loud in the recorded JSON, not masked
+                "retries": int(os.environ.get("BENCH_RETRIED", "0")),
             }))
             return
         except Exception as e:  # OOM fallback chain
