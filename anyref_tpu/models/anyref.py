@@ -255,12 +255,19 @@ def _prompt_lookup_draft(seq: jax.Array, cur_len: jax.Array, ngram: int,
 
 
 def _speculative_decode(params, cfg, exp_ids, pad_len, cache, first_tok,
-                        Lp: int, mnt: int, G: int, ngram: int, dtype):
+                        Lp: int, mnt: int, G: int, ngram: int, dtype,
+                        max_accept: "Optional[int]" = None):
     """Batch-1 speculative decode loop. Each iteration feeds the pending
     token + G lookup drafts in one multi-token pass (one weight stream
     instead of up to G+1); the accepted prefix advances the stream. Rejected
     cache/buffer entries are rewritten from the accepted position before any
     later query attends them (same induction as left-pad masking).
+
+    ``max_accept`` caps tokens accepted per pass (outputs stay exactly the
+    greedy stream — capping only splits a pass in two). Benchmark knob
+    (BENCH_FORCE_ACCEPT): sweeps the q/s-vs-acceptance curve so the
+    throughput claim is measurable at realistic acceptance rates, not just
+    the degenerate full-echo regime of random weights.
 
     Returns (output_ids [1, mnt], gen_hidden [1, mnt, D]) — bit-identical to
     the plain greedy loop.
@@ -296,6 +303,8 @@ def _speculative_decode(params, cfg, exp_ids, pad_len, cache, first_tok,
         no_eos_before = jnp.cumprod(jnp.concatenate(
             [jnp.ones((1,), jnp.int32), (feed[:G] != eos).astype(jnp.int32)]))
         ok = acc * no_eos_before                                 # [G+1]
+        if max_accept is not None:
+            ok = ok * (jnp.arange(G + 1) < max_accept).astype(jnp.int32)
         n_emit = jnp.sum(ok)
         done_next = jnp.any((feed == eos) & (ok == 1))
 
@@ -521,7 +530,8 @@ class GenerateOutput(NamedTuple):
 def generate(params: dict, cfg: AnyRefConfig, batch: dict,
              max_new_tokens: Optional[int] = None,
              speculative: bool = False, draft_len: int = 31,
-             lookup_ngram: int = 2) -> GenerateOutput:
+             lookup_ngram: int = 2,
+             max_accept: Optional[int] = None) -> GenerateOutput:
     """Greedy decode + SAM mask synthesis (reference anyref.py:647-822).
 
     batch: input_ids [B, T] (prompt only, LEFT-padded with one <image>),
@@ -602,7 +612,8 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
         output_ids, gen_hidden, gen_lastin, decode_passes, cache = \
             _speculative_decode(
                 params, cfg, exp_ids, pad_len, cache, first_tok, Lp, mnt,
-                draft_len, lookup_ngram, embeds.dtype)
+                draft_len, lookup_ngram, embeds.dtype,
+                max_accept=max_accept)
     else:
         def cond(carry):
             i, _, _, done, _, _, _ = carry

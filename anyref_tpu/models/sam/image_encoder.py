@@ -168,6 +168,40 @@ def _block(p, x: jax.Array, cfg: SamConfig, window: bool) -> jax.Array:
     return x + h
 
 
+def _fused_window_layer(p, xw: jax.Array, cfg: SamConfig,
+                        grid_hw: tuple[int, int], nwc: int) -> jax.Array:
+    """Whole windowed block in ONE Pallas call (ops/flash.py
+    fused_window_block): LN1+mask+QKV+rel-pos attention+proj+residual+
+    LN2+MLP+residual, layer weights VMEM-resident across the window grid.
+    Same math as _block_windowed_resident (pad mask computed in-kernel
+    from the window index). Kills the per-layer XLA fusion/relayout
+    overhead around the windowed run (BASELINE.md profile: ~55 ms of the
+    88 ms SAM-H encode)."""
+    from ...ops import flash as _flash
+
+    ws = cfg.window_size
+    tht = _get_rel_pos_table(ws, p["attn"]["rel_pos_h"]).reshape(ws * ws, -1)
+    twt = _get_rel_pos_table(ws, p["attn"]["rel_pos_w"]).reshape(ws * ws, -1)
+    return _flash.fused_window_block(
+        xw, p["norm1"], p["attn"]["qkv"], tht, twt, p["attn"]["proj"],
+        p["norm2"], p["mlp"]["lin1"], p["mlp"]["lin2"],
+        (ws, ws), cfg.encoder_num_heads, grid_hw, nwc,
+        eps=cfg.layer_norm_eps,
+        interpret=jax.default_backend() != "tpu")
+
+
+def _fused_window_layer_enabled(cfg: SamConfig) -> bool:
+    # OPT-IN (r3): on the day it was built the shared v5e ran 5-8x below
+    # spec (HBM 93-130 GB/s vs 819, MXU 41-60 TFLOP/s vs 197 — external
+    # contention), so only same-conditions relative numbers exist: fused
+    # 2.9-3.1 ms/layer vs 3.5 unfused on the 24-layer chain harness
+    # (~15% better), at the cost of minutes more Mosaic compile time.
+    # Flip default once a healthy-chip e2e delta is recorded.
+    ws = cfg.window_size
+    return (os.environ.get("ANYREF_FUSED_WINDOW_BLOCK", "0") == "1"
+            and 64 <= ws * ws <= 1024)
+
+
 def _block_windowed_resident(p, xw: jax.Array, mask: jax.Array,
                              cfg: SamConfig) -> jax.Array:
     """Windowed block on a window-RESIDENT stream [B*nw, ws, ws, C].
@@ -214,6 +248,7 @@ def apply(params: dict, x: jax.Array, cfg: SamConfig) -> jax.Array:
     pad_mask, _ = _window_partition(
         jnp.ones((1, H, W, 1), x.dtype), ws)          # [nw, ws, ws, 1]
     win_x = pad_hw = None
+    fused = _fused_window_layer_enabled(cfg)
     for i, bp in enumerate(params["blocks"]):
         if i in cfg.encoder_global_attn_indexes:
             if win_x is not None:
@@ -225,7 +260,14 @@ def apply(params: dict, x: jax.Array, cfg: SamConfig) -> jax.Array:
                 win_x, pad_hw = _window_partition(x, ws)
                 nw = win_x.shape[0] // x.shape[0]
                 mask = jnp.tile(pad_mask, (x.shape[0], 1, 1, 1))
-            win_x = _block_windowed_resident(bp, win_x, mask, cfg)
+            if fused:
+                B0 = x.shape[0]
+                nwc = pad_hw[1] // ws
+                win_x = _fused_window_layer(
+                    bp, win_x.reshape(win_x.shape[0], ws * ws, -1),
+                    cfg, (H, W), nwc).reshape(win_x.shape)
+            else:
+                win_x = _block_windowed_resident(bp, win_x, mask, cfg)
     if win_x is not None:
         x = _window_unpartition(win_x, ws, pad_hw, (H, W))
     # fp32 island for the neck (reference image_encoder.py:118-124)

@@ -539,6 +539,200 @@ def rms_norm_fused(x, scale, eps: float, interpret: bool = False):
     return out[:N].reshape(shape)
 
 
+def _erf_f32(x):
+    """erf to float32 accuracy (Abramowitz-Stegun 7.1.26, |eps| <= 1.5e-7)
+    from exp only — Pallas TPU lowers neither erf nor erfc (checked on
+    v5e, jax 0.9: 'Unimplemented primitive ... erfc')."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    z = jnp.abs(x)
+    t = 1.0 / (1.0 + p * z)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu_exact(x):
+    """erf-GELU (torch nn.GELU default) via _erf_f32; error ~1e-7 absolute,
+    below bf16 resolution of the stream it feeds."""
+    return x * 0.5 * (1.0 + _erf_f32(x * (2.0 ** -0.5)))
+
+
+def _fused_window_block_kernel(
+        x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, tht_ref, twt_ref,
+        wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+        b2_ref, o_ref, *, eps: float, nh: int, hd: int, ws: int, nwc: int,
+        nw: int, H: int, W: int, WG: int):
+    """WG ENTIRE windowed ViTDet blocks per grid step:
+    LN1 + pad-mask + fused-QKV projection + rel-pos attention (all heads) +
+    output projection + residual + LN2 + MLP + residual — no intermediate
+    ever leaves VMEM, and the layer's weights stay VMEM-resident across the
+    whole window grid (constant index maps).
+
+    The three GEMMs run on ROW-MERGED [WG*L, C] operands (L=196 alone caps
+    the MXU M-dimension at 196/256 = 77% utilization; merged rows reach
+    ~96%); attention runs per (window, head) on leading-dim slices.
+
+    Rel-pos bias is computed IN-KERNEL from the raw gathered tables with no
+    gathers/transposes: scores are built TRANSPOSED (s_T[k, q]) so the
+    per-row table row-selection becomes a masked sum over the leading
+    (sublane) axis, and both bias expansions are [L, S] @ [S, L] matmuls.
+    """
+    L = ws * ws
+    C = nh * hd
+    WL = WG * L
+    x3 = x_ref[...].astype(jnp.float32)                    # [WG, L, C]
+
+    # pad mask from the window indices (windows scan row-major over the
+    # padded (ceil(H/ws)*ws) grid; right/bottom windows overhang)
+    wi = (pl.program_id(0) * WG
+          + jax.lax.broadcasted_iota(jnp.int32, (WG, L, 1), 0)) % nw
+    li = jax.lax.broadcasted_iota(jnp.int32, (WG, L, 1), 1)
+    rows = (wi // nwc) * ws + li // ws
+    cols = (wi % nwc) * ws + li % ws
+    mask3 = ((rows < H) & (cols < W)).astype(jnp.float32)  # [WG, L, 1]
+
+    def ln(v, s_ref, b_ref):
+        mean = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(v - mean), axis=-1, keepdims=True)
+        return ((v - mean) * jax.lax.rsqrt(var + eps)
+                * s_ref[0].astype(jnp.float32)
+                + b_ref[0].astype(jnp.float32))
+
+    h = (ln(x3, ln1s_ref, ln1b_ref) * mask3).astype(o_ref.dtype)
+    qkv = jax.lax.dot_general(
+        h.reshape(WL, C), wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + bqkv_ref[0].astype(jnp.float32)                  # [WL, 3C]
+    qkv3 = qkv.astype(o_ref.dtype).reshape(WG, L, 3 * C)
+
+    # static bias-expansion indicators over the key axis
+    kk = jax.lax.broadcasted_iota(jnp.int32, (L, ws), 0)
+    ss = jax.lax.broadcasted_iota(jnp.int32, (L, ws), 1)
+    expand_hk = (kk // ws == ss).astype(jnp.float32)       # [L, ws]
+    expand_wk = (kk % ws == ss).astype(jnp.float32)
+    # per-query row/col selectors for the table row (leading-axis mask)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (ws, 1, 1), 0)
+    sel_h = (jj == qpos // ws).astype(jnp.float32)         # [ws, 1, L]
+    sel_w = (jj == qpos % ws).astype(jnp.float32)
+
+    scale = hd ** -0.5
+    wouts = []
+    for w in range(WG):
+        outs = []
+        for hh in range(nh):
+            q = qkv3[w, :, hh * hd:(hh + 1) * hd]
+            k = qkv3[w, :, C + hh * hd:C + (hh + 1) * hd]
+            v = qkv3[w, :, 2 * C + hh * hd:2 * C + (hh + 1) * hd]
+            # G_T[(j, s), q] = q[q] . table[j, s]; select j == qh(q)/qw(q)
+            ght = jax.lax.dot_general(
+                tht_ref[...].astype(q.dtype), q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [ws*ws, L]
+            rh_t = jnp.sum(ght.reshape(ws, ws, L) * sel_h, axis=0)
+            gwt = jax.lax.dot_general(
+                twt_ref[...].astype(q.dtype), q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rw_t = jnp.sum(gwt.reshape(ws, ws, L) * sel_w, axis=0)
+            s_t = jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [L(k), L(q)]
+            s_t = s_t + jax.lax.dot_general(
+                expand_hk, rh_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s_t = s_t + jax.lax.dot_general(
+                expand_wk, rw_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = jnp.max(s_t, axis=0, keepdims=True)        # over keys
+            p = jnp.exp(s_t - m)
+            p = p / jnp.sum(p, axis=0, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p.astype(v.dtype), v, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))       # [L(q), hd]
+        wouts.append(jnp.concatenate(outs, axis=1)[None])  # [1, L, C]
+    attn = jnp.concatenate(wouts, axis=0).astype(o_ref.dtype)
+    proj = jax.lax.dot_general(
+        attn.reshape(WL, C), wproj_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + bproj_ref[0].astype(jnp.float32)
+    x1 = x3.reshape(WL, C) + proj                          # [WL, C] fp32
+
+    h2 = ln(x1, ln2s_ref, ln2b_ref).astype(o_ref.dtype)
+    m1 = jax.lax.dot_general(
+        h2, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + b1_ref[0].astype(jnp.float32)
+    m1 = _gelu_exact(m1).astype(o_ref.dtype)
+    m2 = jax.lax.dot_general(
+        m1, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + b2_ref[0].astype(jnp.float32)
+    o_ref[...] = (x1 + m2).astype(o_ref.dtype).reshape(WG, L, C)
+
+
+def fused_window_block(xw, ln1, qkv_p, tht, twt, proj_p, ln2, mlp1_p, mlp2_p,
+                       size_hw, num_heads: int, grid_hw, nwc: int,
+                       eps: float, interpret: bool = False):
+    """Whole windowed transformer block on the window-resident stream.
+
+    xw: [NW, ws*ws, C] (NW = B * n_windows); tht/twt: [ws*ws, hd] gathered
+    rel-pos tables reshaped row-major (j, s); grid_hw: the (H, W) token grid
+    (for pad masking); nwc: windows per row. Weights live VMEM-resident for
+    the whole call (one HBM fetch per layer). Returns [NW, ws*ws, C].
+    """
+    ws_h, ws_w = size_hw
+    assert ws_h == ws_w
+    ws = ws_h
+    NW, L, C = xw.shape
+    hd = C // num_heads
+    H, W = grid_hw
+    nwr = -(-H // ws)
+    nw = nwr * nwc
+    # windows per grid step: merged-GEMM M dimension = WG * L
+    WG = next((g for g in (5, 4, 3, 2, 1) if NW % g == 0), 1)
+    mlp_dim = mlp1_p["w"].shape[1]
+    kernel = functools.partial(
+        _fused_window_block_kernel, eps=eps, nh=num_heads, hd=hd, ws=ws,
+        nwc=nwc, nw=nw, H=H, W=W, WG=WG)
+    const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape))  # noqa: E731
+    # the layer's weights live VMEM-resident (qkv + proj + both mlp mats),
+    # which busts the default 16 MiB scoped-vmem cap; v5e has far more
+    # physical VMEM. Budget: weights + double-buffered stream blocks + a
+    # generous margin for kernel temporaries (merged fp32 GEMM outputs).
+    esz = jnp.dtype(xw.dtype).itemsize
+    WL = WG * L
+    weight_bytes = (C * 3 * C + C * C + C * mlp_dim + mlp_dim * C) * esz
+    stream_bytes = 4 * WL * C * esz
+    vmem_budget = int(weight_bytes + stream_bytes
+                      + (WL * 3 * C + 2 * WL * mlp_dim + 4 * L * L) * 4
+                      + (8 << 20))
+    return pl.pallas_call(
+        kernel,
+        grid=(NW // WG,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_budget, 120 << 20)),
+        in_specs=[
+            pl.BlockSpec((WG, L, C), lambda b: (b, 0, 0)),
+            const((1, C)), const((1, C)),
+            const((C, 3 * C)), const((1, 3 * C)),
+            const((L, hd)), const((L, hd)),
+            const((C, C)), const((1, C)),
+            const((1, C)), const((1, C)),
+            const((C, mlp_dim)), const((1, mlp_dim)),
+            const((mlp_dim, C)), const((1, C)),
+        ],
+        out_specs=pl.BlockSpec((WG, L, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NW, L, C), xw.dtype),
+        interpret=interpret,
+    )(xw, ln1["scale"].reshape(1, C), ln1["bias"].reshape(1, C),
+      qkv_p["w"], qkv_p["b"].reshape(1, 3 * C),
+      tht, twt,
+      proj_p["w"], proj_p["b"].reshape(1, C),
+      ln2["scale"].reshape(1, C), ln2["bias"].reshape(1, C),
+      mlp1_p["w"], mlp1_p["b"].reshape(1, mlp_dim),
+      mlp2_p["w"], mlp2_p["b"].reshape(1, C))
+
+
 def _relpos_qkv_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
                        kh: int, kw: int, nh: int, hd: int):
     """Window attention straight off the fused QKV tensor [L, 3C]: per-head

@@ -97,6 +97,11 @@ def main():
     # accept more per pass; 31 finishes decode32 in ONE pass at full echo
     # (measured 5.97 q/s vs 5.06 at draft16)
     draft_len = int(os.environ.get("BENCH_DRAFT_LEN", "31"))
+    # caps accepted tokens per verify pass: BENCH_FORCE_ACCEPT=k measures
+    # the q/s a REAL checkpoint would see at k tokens/pass acceptance
+    # (outputs stay exactly the greedy stream; the cap only splits passes)
+    force_accept = os.environ.get("BENCH_FORCE_ACCEPT")
+    max_accept = int(force_accept) if force_accept else None
 
     import jax
     import jax.numpy as jnp
@@ -119,7 +124,8 @@ def main():
                                       max_new_tokens=decode_tokens,
                                       speculative=speculative and
                                       batch_size == 1,
-                                      draft_len=draft_len)
+                                      draft_len=draft_len,
+                                      max_accept=max_accept)
                 # ship only what the host pipeline consumes: ids + the first
                 # mask slot's LOW-RES logits (the host does both postprocess
                 # resizes, identical to reference sam.py:137-172 numerics)

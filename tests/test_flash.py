@@ -217,3 +217,64 @@ def test_relpos_qkv_kernel_matches_split_path():
                                             use_flash=False)
     want = np.asarray(want).transpose(0, 2, 1, 3).reshape(B, L, C)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_window_block_matches_resident_oracle(monkeypatch):
+    """The whole-layer fused window kernel (LN1+mask+QKV+relpos attention+
+    proj+residual+LN2+MLP) must equal the unfused resident path, including
+    in-kernel pad-mask computation on overhanging edge windows."""
+    monkeypatch.setenv("ANYREF_QKV_WINDOW_KERNEL", "0")
+    from anyref_tpu.config import SamConfig
+    from anyref_tpu.models.sam import image_encoder as enc
+
+    ws, nh, hd = 8, 4, 32
+    C = nh * hd
+    H = W = 20                      # pads to 24 -> 3x3 windows, edges overhang
+    cfg = SamConfig(encoder_embed_dim=C, encoder_depth=1,
+                    encoder_num_heads=nh, encoder_global_attn_indexes=(),
+                    image_size=H * 16, window_size=ws, prompt_embed_dim=32)
+    rng = np.random.default_rng(5)
+    mlp = int(C * cfg.mlp_ratio)
+
+    def lin(i, o):
+        return {"w": jnp.asarray(rng.standard_normal((i, o)) * i ** -0.5,
+                                 jnp.float32),
+                "b": jnp.asarray(rng.standard_normal((o,)) * 0.02,
+                                 jnp.float32)}
+
+    def ln(d):
+        return {"scale": jnp.asarray(1 + 0.1 * rng.standard_normal((d,)),
+                                     jnp.float32),
+                "bias": jnp.asarray(0.05 * rng.standard_normal((d,)),
+                                    jnp.float32)}
+
+    p = {"norm1": ln(C), "norm2": ln(C),
+         "attn": {"qkv": lin(C, 3 * C), "proj": lin(C, C),
+                  "rel_pos_h": jnp.asarray(
+                      rng.standard_normal((2 * ws - 1, hd)) * 0.1,
+                      jnp.float32),
+                  "rel_pos_w": jnp.asarray(
+                      rng.standard_normal((2 * ws - 1, hd)) * 0.1,
+                      jnp.float32)},
+         "mlp": {"lin1": lin(C, mlp), "lin2": lin(mlp, C)}}
+
+    B = 2
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)) * 0.5, jnp.float32)
+    xw, pad_hw = enc._window_partition(x, ws)
+    pad_mask, _ = enc._window_partition(jnp.ones((1, H, W, 1), x.dtype), ws)
+    mask = jnp.tile(pad_mask, (B, 1, 1, 1))
+
+    want = enc._block_windowed_resident(p, xw, mask, cfg)
+    got = enc._fused_window_layer(
+        p, xw.reshape(xw.shape[0], ws * ws, C), cfg, (H, W),
+        pad_hw[1] // ws).reshape(xw.shape)
+    # compare on valid positions (pad rows hold path-dependent garbage that
+    # is never read: re-masked next layer, cropped at unpartition)
+    np.testing.assert_allclose(np.asarray(got * mask),
+                               np.asarray(want * mask),
+                               rtol=3e-4, atol=3e-4)
+    # and the final unpartitioned (cropped) tensors agree
+    a = enc._window_unpartition(got, ws, pad_hw, (H, W))
+    b = enc._window_unpartition(want, ws, pad_hw, (H, W))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=3e-4, atol=3e-4)

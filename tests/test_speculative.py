@@ -63,3 +63,26 @@ def test_prompt_lookup_draft():
     seq = jnp.concatenate([seq, jnp.full((8,), 2, jnp.int32)])
     draft = _prompt_lookup_draft(seq, jnp.int32(8), ngram=2, draft_len=2)
     np.testing.assert_array_equal(np.asarray(draft), [3, 4])
+
+
+@pytest.mark.slow
+def test_max_accept_cap_is_lossless_and_bounds_passes():
+    """BENCH_FORCE_ACCEPT semantics: capping accepted tokens per pass must
+    keep outputs exactly the greedy stream while forcing at least
+    ceil(tokens/k) verify passes."""
+    params = anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
+    batch = _batch(np.random.default_rng(0))
+    mnt = 12
+    plain = jax.jit(functools.partial(anyref.generate, max_new_tokens=mnt),
+                    static_argnums=(1,))(params, CFG, batch)
+    for k in (1, 2, 4):
+        capped = jax.jit(functools.partial(
+            anyref.generate, max_new_tokens=mnt, speculative=True,
+            draft_len=8, max_accept=k), static_argnums=(1,))(
+                params, CFG, batch)
+        np.testing.assert_array_equal(np.asarray(plain.output_ids),
+                                      np.asarray(capped.output_ids),
+                                      err_msg=f"k={k}")
+        n_tok = int(np.asarray(plain.num_generated)[0]) or mnt
+        passes = int(np.asarray(capped.decode_passes))
+        assert passes >= -(-n_tok // k), (k, passes, n_tok)

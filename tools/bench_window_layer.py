@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Per-layer micro-benchmark of the SAM-H windowed block paths.
+
+Chains REP layers inside one jit (the axon tunnel adds ~40 ms per dispatch,
+so per-call timing is meaningless) and reports ms/layer for:
+  * resident  — the unfused window-resident path (r2 default)
+  * fused     — the whole-layer fused Pallas kernel (ops/flash.py
+                fused_window_block, ANYREF_FUSED_WINDOW_BLOCK=1)
+Also prints a chip-health calibration (HBM GB/s + GEMM TFLOP/s): the shared
+v5e fluctuates (observed 93-660 GB/s across days); absolute layer times are
+only comparable at similar health.
+"""
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def calibrate():
+    rng = np.random.default_rng(0)
+    N = 32 * 1024 * 1024
+    x = jnp.asarray(rng.standard_normal(N), jnp.bfloat16)
+    REP = 20
+    f = jax.jit(lambda x: [x := x * 1.000001 for _ in range(REP)][-1])
+    o = f(x); float(o[0].astype(jnp.float32))
+    t0 = time.time(); o = f(x); float(o[0].astype(jnp.float32))
+    bw = 2 * N * 2 / ((time.time() - t0) / REP) / 1e9
+    M = 2048
+    a = jnp.asarray(rng.standard_normal((M, M)) * 0.02, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((M, M)) * 0.02, jnp.bfloat16)
+    g = jax.jit(lambda x: [x := jnp.dot(x, b, preferred_element_type=jnp.bfloat16)
+                           for _ in range(REP)][-1])
+    o = g(a); float(o[0, 0].astype(jnp.float32))
+    t0 = time.time(); o = g(a); float(o[0, 0].astype(jnp.float32))
+    tf = 2 * M ** 3 / ((time.time() - t0) / REP) / 1e12
+    print(f"chip health: HBM ~{bw:.0f} GB/s, GEMM ~{tf:.1f} TFLOP/s")
+
+
+def main():
+    from anyref_tpu.config import SamConfig
+    from anyref_tpu.models.sam import image_encoder as enc
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    calibrate()
+    cfg = SamConfig()
+    ws, C = cfg.window_size, cfg.encoder_embed_dim
+    H = W = cfg.embedding_size
+    rng = np.random.default_rng(0)
+    p = enc.init(jax.random.key(0), SamConfig(encoder_depth=1),
+                 jnp.bfloat16)["blocks"][0]
+    x = jnp.asarray(rng.standard_normal((1, H, W, C)) * 0.3, jnp.bfloat16)
+    xw, pad_hw = enc._window_partition(x, ws)
+    pad_mask, _ = enc._window_partition(jnp.ones((1, H, W, 1), x.dtype), ws)
+    mask = jnp.tile(pad_mask, (1, 1, 1, 1))
+    nwc = pad_hw[1] // ws
+    NW, L = xw.shape[0], ws * ws
+    REP = 24
+
+    def run(name, layer):
+        f = jax.jit(lambda z: [z := layer(z) for _ in range(REP)][-1])
+        t0 = time.time(); out = f(xw); out.block_until_ready()
+        ct = time.time() - t0
+        float(jnp.sum(out.astype(jnp.float32)))
+        ts = []
+        for _ in range(5):
+            t0 = time.time(); o = f(xw)
+            float(jnp.sum(o.astype(jnp.float32)))
+            ts.append((time.time() - t0) * 1e3)
+        ts.sort()
+        print(f"{name:9s} compile {ct:5.1f}s  {ts[2]:.2f} ms / {REP} layers "
+              f"-> {ts[2] / REP:.3f} ms/layer")
+
+    if mode in ("both", "resident"):
+        run("resident",
+            lambda z: enc._block_windowed_resident(p, z, mask, cfg))
+    if mode in ("both", "fused"):
+        run("fused", lambda z: enc._fused_window_layer(
+            p, z.reshape(NW, L, C), cfg, (H, W), nwc).reshape(z.shape))
+
+
+if __name__ == "__main__":
+    main()
