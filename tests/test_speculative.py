@@ -86,3 +86,91 @@ def test_max_accept_cap_is_lossless_and_bounds_passes():
         n_tok = int(np.asarray(plain.num_generated)[0]) or mnt
         passes = int(np.asarray(capped.decode_passes))
         assert passes >= -(-n_tok // k), (k, passes, n_tok)
+
+
+@pytest.mark.slow
+def test_acceptance_on_non_degenerate_model():
+    """Measure speculative acceptance on a model that emits REAL answers
+    (VERDICT r2 #1a): overfit the tiny preset on one referring fixture until
+    greedy decode reproduces the trained answer ("<expr>[SEG]."), then
+    record tokens/pass. Referring answers echo the prompt's expression, so
+    prompt-lookup must accept the echo span in few passes — acceptance here
+    comes from the ANSWER STRUCTURE, not random-weight token repetition."""
+    from anyref_tpu.train import lora as lora_mod
+    from anyref_tpu.train import step as step_mod
+    from anyref_tpu.data.collator import Collator
+    from anyref_tpu.tokenizer import AnyRefTokenizer, seg_answer
+
+    expr = "the red cat on the striped mat"
+    tok = AnyRefTokenizer()
+    rng = np.random.default_rng(0)
+    col_t = Collator(tok, CFG, train=True)
+    inst = {
+        "clip_image": rng.standard_normal((3, 224, 224)).astype(np.float32),
+        "sam_image": rng.standard_normal(
+            (3, CFG.sam.image_size, CFG.sam.image_size)).astype(np.float32),
+        "sam_resized_size": (CFG.sam.image_size, CFG.sam.image_size),
+        "question": seg_question(expr), "answer": seg_answer(expr),
+        "gt_masks": (rng.random((1, 48, 64)) > 0.5).astype(np.uint8),
+        "height": 48, "width": 64, "file_name": "x.jpg",
+    }
+    tbatch = step_mod.device_batch(col_t([inst, inst]))
+
+    params = anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
+    lora_cfg = lora_mod.LoraConfig()
+    opt = step_mod.make_optimizer(lr=3e-3, warmup=2, total_steps=1000)
+    state, frozen = step_mod.init_state(jax.random.key(1), params, lora_cfg,
+                                        opt)
+    train_step = jax.jit(step_mod.make_train_step(CFG, lora_cfg, opt,
+                                                  remat=False))
+
+    # the supervised tokens straight from the collator labels (the answer
+    # re-tokenizes differently in context, e.g. leading space)
+    labels = np.asarray(tbatch["labels"][0])
+    target_ids = [int(t) for t in labels[labels != -100] if t != 2]
+    mnt = len(target_ids) + 2
+    gbatch = _batch(np.random.default_rng(0))
+    # same prompt as training
+    from anyref_tpu.tokenizer import tokenize_prompt
+    pids = tokenize_prompt(tok, seg_question(expr))
+    gbatch["input_ids"] = jnp.asarray(np.asarray(pids, np.int32)[None])
+    gbatch["clip_images"] = jnp.asarray(inst["clip_image"][None])
+    gbatch["sam_images"] = jnp.asarray(inst["sam_image"][None])
+
+    def merged_params(state):
+        p = lora_mod.merge_params(state.dense, frozen)
+        return {**p, "llama": lora_mod.apply(p["llama"], state.lora,
+                                             lora_cfg)}
+
+    gen_plain = jax.jit(functools.partial(anyref.generate,
+                                          max_new_tokens=mnt),
+                        static_argnums=(1,))
+    emitted = None
+    for step_i in range(120):
+        state, metrics = train_step(state, frozen, tbatch)
+        if step_i >= 40 and step_i % 20 == 19:
+            out = gen_plain(merged_params(state), CFG, gbatch)
+            ids = [t for t in np.asarray(out.output_ids)[0].tolist()
+                   if t != 2]
+            if ids == target_ids:
+                emitted = ids
+                break
+    if emitted is None:
+        pytest.skip("tiny model did not reach the exact answer in 140 "
+                    f"steps (loss {float(metrics['loss']):.3f}) — "
+                    "acceptance unmeasurable this run")
+
+    spec = jax.jit(functools.partial(anyref.generate, max_new_tokens=mnt,
+                                     speculative=True, draft_len=15),
+                   static_argnums=(1,))(merged_params(state), CFG, gbatch)
+    ids_spec = [t for t in np.asarray(spec.output_ids)[0].tolist() if t != 2]
+    assert ids_spec == emitted                     # lossless
+    n_tok = len(emitted)
+    passes = int(np.asarray(spec.decode_passes))
+    tokens_per_pass = n_tok / passes
+    print(f"\nnon-degenerate acceptance: {n_tok} tokens in {passes} passes "
+          f"-> {tokens_per_pass:.2f} tok/pass (answer: {tok.decode(emitted)!r})")
+    # the echoed expression must be accepted in bulk: strictly better than
+    # one-token-per-pass greedy decode
+    assert passes < n_tok, (passes, n_tok)
+    assert tokens_per_pass >= 1.5
