@@ -50,9 +50,9 @@ class Predictor:
 
     def _fn(self, keyset):
         if keyset not in self._jitted:
-            # speculative decoding is batch-1 only (per-row acceptance
-            # diverges in lockstep batches)
-            spec = self.speculative and keyset[1] == 1
+            # batched speculative: rows advance by the minimum accepted
+            # length per pass (lossless lockstep, anyref._speculative_decode)
+            spec = self.speculative
             self._jitted[keyset] = jax.jit(
                 functools.partial(anyref.generate, max_new_tokens=self.mnt,
                                   speculative=spec),

@@ -257,11 +257,17 @@ def _prompt_lookup_draft(seq: jax.Array, cur_len: jax.Array, ngram: int,
 def _speculative_decode(params, cfg, exp_ids, pad_len, cache, first_tok,
                         Lp: int, mnt: int, G: int, ngram: int, dtype,
                         max_accept: "Optional[int]" = None):
-    """Batch-1 speculative decode loop. Each iteration feeds the pending
-    token + G lookup drafts in one multi-token pass (one weight stream
-    instead of up to G+1); the accepted prefix advances the stream. Rejected
-    cache/buffer entries are rewritten from the accepted position before any
-    later query attends them (same induction as left-pad masking).
+    """BATCHED speculative decode loop (lockstep-min acceptance). Each
+    iteration feeds, per row, the pending token + G per-row lookup drafts in
+    one multi-token pass (one weight stream serves the whole batch: verify
+    chunks are weight-streaming-bound, so batch rows ride along nearly
+    free). All rows advance together by the MINIMUM accepted length over
+    not-yet-finished rows — lossless (a row's surplus accepted tokens are
+    simply re-verified next pass, exactly like ``max_accept`` capping), with
+    all cache writes at common positions so the batch-1 rewrite induction
+    holds row-wise: rejected cache/buffer entries sit strictly above the
+    accepted frontier, are causally masked, and are rewritten before any
+    later query attends them.
 
     ``max_accept`` caps tokens accepted per pass (outputs stay exactly the
     greedy stream — capping only splits a pass in two). Benchmark knob
@@ -269,58 +275,71 @@ def _speculative_decode(params, cfg, exp_ids, pad_len, cache, first_tok,
     throughput claim is measurable at realistic acceptance rates, not just
     the degenerate full-echo regime of random weights.
 
-    Returns (output_ids [1, mnt], gen_hidden [1, mnt, D]) — bit-identical to
-    the plain greedy loop.
+    Returns (output_ids [B, mnt], gen_hidden [B, mnt, D]) — bit-identical
+    to the plain greedy loop.
     """
     eos = 2
+    B = exp_ids.shape[0]
     D = params["llama"]["layers"][0]["input_norm"]["scale"].shape[0]
     ext = mnt + G + 1
-    toks0 = jnp.full((1, ext), eos, jnp.int32)
-    hids0 = jnp.zeros((1, ext, D), dtype)
-    lins0 = jnp.zeros((1, ext, D), dtype)
+    toks0 = jnp.full((B, ext), eos, jnp.int32)
+    hids0 = jnp.zeros((B, ext, D), dtype)
+    lins0 = jnp.zeros((B, ext, D), dtype)
     all_ids0 = jnp.concatenate(
-        [exp_ids, jnp.full((1, ext), eos, jnp.int32)], axis=1)   # [1, Lp+ext]
+        [exp_ids, jnp.full((B, ext), eos, jnp.int32)], axis=1)   # [B, Lp+ext]
+    arange_g = jnp.arange(G + 1)
 
     def cond(carry):
         i, done = carry[0], carry[3]
-        return (i < mnt) & ~done
+        return (i < mnt) & ~jnp.all(done)
 
     def body(carry):
         i, cache, tok, done, toks, hids, lins, all_ids, n_pass = carry
-        all_ids = jax.lax.dynamic_update_slice(all_ids, tok[None, None],
+        all_ids = jax.lax.dynamic_update_slice(all_ids, tok[:, None],
                                                (0, Lp + i))
-        draft = _prompt_lookup_draft(all_ids[0], Lp + i + 1, ngram, G)
-        feed = jnp.concatenate([tok[None], draft])               # [G+1]
-        emb = llama.embed(params["llama"], feed[None], dtype=dtype)
+        draft = jax.vmap(
+            lambda row: _prompt_lookup_draft(row, Lp + i + 1, ngram, G)
+        )(all_ids)                                               # [B, G]
+        feed = jnp.concatenate([tok[:, None], draft], axis=1)    # [B, G+1]
+        feed = jnp.where(done[:, None], eos, feed)               # idle rows
+        emb = llama.embed(params["llama"], feed, dtype=dtype)
         h, cache, lin = llama.decode_chunk(params["llama"], cfg.llama, emb,
                                            Lp + i, cache, pad_len=pad_len,
                                            return_last_input=True)
-        lg = llama.logits(params["llama"], h[0])                 # [G+1, V]
-        nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)          # [G+1]
+        lg = llama.logits(params["llama"], h)                    # [B, G+1, V]
+        nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)          # [B, G+1]
 
-        match = jnp.cumprod((draft == nxt[:G]).astype(jnp.int32))
-        acc = jnp.concatenate([jnp.ones((1,), jnp.int32), match])
+        ones = jnp.ones((B, 1), jnp.int32)
+        match = jnp.cumprod((feed[:, 1:] == nxt[:, :G]).astype(jnp.int32),
+                            axis=1)
+        acc = jnp.concatenate([ones, match], axis=1)
         no_eos_before = jnp.cumprod(jnp.concatenate(
-            [jnp.ones((1,), jnp.int32), (feed[:G] != eos).astype(jnp.int32)]))
-        ok = acc * no_eos_before                                 # [G+1]
+            [ones, (feed[:, :G] != eos).astype(jnp.int32)], axis=1), axis=1)
+        ok = acc * no_eos_before                                 # [B, G+1]
         if max_accept is not None:
-            ok = ok * (jnp.arange(G + 1) < max_accept).astype(jnp.int32)
-        n_emit = jnp.sum(ok)
-        done_next = jnp.any((feed == eos) & (ok == 1))
+            ok = ok * (arange_g < max_accept).astype(jnp.int32)[None]
+        n_emit_row = jnp.sum(ok, axis=1)                         # [B]
+        # finished rows must not throttle the batch
+        n_emit = jnp.min(jnp.where(done, G + 1, n_emit_row))
+        n_emit = jnp.maximum(n_emit, 1)
+        # EOS only counts as emitted if inside the GLOBAL accepted prefix
+        ok_eff = ok * (arange_g[None] < n_emit).astype(jnp.int32)
+        done_next = done | jnp.any((feed == eos) & (ok_eff == 1), axis=1)
 
-        toks = jax.lax.dynamic_update_slice(toks, feed[None], (0, i))
+        toks = jax.lax.dynamic_update_slice(toks, feed, (0, i))
         hids = jax.lax.dynamic_update_slice(hids, h, (0, i, 0))
         lins = jax.lax.dynamic_update_slice(lins, lin, (0, i, 0))
-        all_ids = jax.lax.dynamic_update_slice(all_ids, feed[None],
-                                               (0, Lp + i))
-        next_tok = nxt[jnp.clip(n_emit - 1, 0, G)]
+        all_ids = jax.lax.dynamic_update_slice(all_ids, feed, (0, Lp + i))
+        next_tok = jnp.take_along_axis(
+            nxt, jnp.full((B, 1), jnp.clip(n_emit - 1, 0, G)), axis=1)[:, 0]
+        next_tok = jnp.where(done_next, eos, next_tok)
         return (i + n_emit, cache, next_tok, done_next, toks, hids, lins,
                 all_ids, n_pass + 1)
 
     (i, cache, tok, done, toks, hids, lins, all_ids,
      n_pass) = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), cache, first_tok[0], jnp.zeros((), bool),
+        (jnp.int32(0), cache, first_tok, jnp.zeros((B,), bool),
          toks0, hids0, lins0, all_ids0, jnp.int32(0)))
     # mask stale tail (slots >= final i) back to EOS / zeros
     live = jnp.arange(ext)[None, :] < i
@@ -541,16 +560,18 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
     computations; both are dispatched inside one jit so XLA can overlap them
     (the reference runs them serially, anyref.py:793 after :704).
 
-    ``speculative`` (batch 1 only): prompt-lookup speculative decoding —
-    drafts are copied (with periodic wrap) from the latest earlier occurrence
-    of the current token suffix and verified in one multi-token pass
-    (lossless: outputs are exactly the greedy stream). Verify-chunk cost is
-    flat in draft length on v5e (~24-25 ms for 5..33 rows vs 20.4 ms single
-    token — decode is weight-streaming-bound), so long drafts are nearly
-    free; acceptance is reported via GenerateOutput.decode_passes. At 7B on
-    one 16 GB chip run the decoder through llama.transpose_for_serving first
-    (multi-row chunks otherwise make XLA materialize ~3.2 GiB of transposed
-    weight copies).
+    ``speculative``: prompt-lookup speculative decoding — per-row drafts are
+    copied (with periodic wrap) from the latest earlier occurrence of the
+    current token suffix and verified in one multi-token pass (lossless:
+    outputs are exactly the greedy stream). Verify-chunk cost is flat in
+    draft length on v5e (~24-25 ms for 5..33 rows vs 20.4 ms single token —
+    decode is weight-streaming-bound), so long drafts are nearly free; with
+    batch > 1 all rows share each pass's weight stream and advance in
+    lockstep by the minimum accepted length (surplus accepted tokens are
+    re-verified next pass). Acceptance is reported via
+    GenerateOutput.decode_passes. At 7B on one 16 GB chip run the decoder
+    through llama.transpose_for_serving first (multi-row chunks otherwise
+    make XLA materialize ~3.2 GiB of transposed weight copies).
     """
     mnt = max_new_tokens or cfg.max_new_tokens
     tk = cfg.tokens
@@ -580,7 +601,7 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
                          axis=1).astype(jnp.int32)
 
     B, Lp, D = embeds.shape
-    spec = speculative and B == 1
+    spec = speculative
     # spec chunks write up to draft_len past the last accepted slot; size the
     # cache for it or dynamic_update_slice's clamping would silently rewrite
     # earlier (accepted) entries near the mnt boundary

@@ -53,11 +53,12 @@ class Server:
                  speculative: Optional[bool] = None):
         self.cfg = cfg
         self.tok = tokenizer or AnyRefTokenizer()
-        # speculative decoding is the measured-best single-query config
-        # (bench.py: ~5 q/s vs 1.1 plain at decode32); it only applies at
-        # batch 1, where batching can't amortize the weight stream instead
+        # speculative decoding is the measured-best config (bench.py: ~5 q/s
+        # vs 1.1 plain at decode32, batch 1); with batch > 1 the lockstep
+        # batched variant shares each verify pass's weight stream across
+        # rows AND accepts multi-token spans
         if speculative is None:
-            speculative = max_batch == 1
+            speculative = True
         self.predictor = Predictor(params, cfg, speculative=speculative)
         self.collator = Collator(self.tok, cfg, train=False)
         self.max_batch = max_batch

@@ -14,11 +14,15 @@ never fires, so the benchmark caps decode at BENCH_DECODE_TOKENS (default 32
 — an upper bound on real referring-seg answers, which are ~6-12 tokens).
 Set BENCH_DECODE_TOKENS=128 for the full-cap worst case.
 
-Speculative decoding (BENCH_SPECULATIVE=1, default, batch 1) is lossless —
-outputs equal the greedy stream (equality-tested). Draft acceptance with
-random weights comes from the model's own degenerate token repetition, which
-prompt-lookup legitimately exploits; real checkpoints accept on the
-prompt-echoing structure of referring answers instead. BENCH_SPECULATIVE=0
+Speculative decoding (BENCH_SPECULATIVE=1, default) is lossless — outputs
+equal the greedy stream (equality-tested). With BENCH_BATCH>1 rows share
+each verify pass's weight stream and advance in lockstep by the minimum
+accepted length. Draft acceptance with random weights comes from the
+model's own degenerate token repetition, which prompt-lookup legitimately
+exploits; real checkpoints accept on the prompt-echoing structure of
+referring answers instead — measured 4.12 tok/pass on a non-degenerate
+overfit model (tests/test_speculative.py), and BENCH_FORCE_ACCEPT=k pins
+acceptance to sweep the q/s-vs-acceptance curve. BENCH_SPECULATIVE=0
 benches the plain loop.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
@@ -111,7 +115,7 @@ def main():
     for attempt in ([preset] if preset != "7b" else ["7b", "7b-noaudio"]):
         try:
             cfg, params = build(attempt)
-            if speculative and batch_size == 1:
+            if speculative:
                 # transposed decoder weights: avoids XLA's transposed-layout
                 # weight copies for the multi-row verify chunks (see
                 # llama.transpose_for_serving)
@@ -122,8 +126,7 @@ def main():
             def run(params, cfg_, batch):
                 out = anyref.generate(params, cfg_, batch,
                                       max_new_tokens=decode_tokens,
-                                      speculative=speculative and
-                                      batch_size == 1,
+                                      speculative=speculative,
                                       draft_len=draft_len,
                                       max_accept=max_accept)
                 # ship only what the host pipeline consumes: ids + the first
@@ -163,7 +166,7 @@ def main():
             print(json.dumps({
                 "metric": (f"e2e_queries_per_sec_per_chip[{attempt},"
                            f"decode{decode_tokens},batch{batch_size}"
-                           f"{',spec' if speculative and batch_size == 1 else ''}]"),
+                           f"{',spec' if speculative else ''}]"),
                 "value": round(qps, 3),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / 5.0, 3),

@@ -174,3 +174,36 @@ def test_acceptance_on_non_degenerate_model():
     # one-token-per-pass greedy decode
     assert passes < n_tok, (passes, n_tok)
     assert tokens_per_pass >= 1.5
+
+
+@pytest.mark.slow
+def test_batched_speculative_matches_per_row_plain():
+    """Batch-2 lockstep speculative decoding (min-acceptance) must equal the
+    plain greedy outputs per row, through the full Predictor machinery
+    (left-pad buckets, different prompt lengths)."""
+    from anyref_tpu.eval.runner import Predictor
+
+    params = anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
+    col = Collator(AnyRefTokenizer(), CFG, train=False)
+    rng = np.random.default_rng(3)
+    insts = []
+    for text in ("the red cat",
+                 "a much longer referring expression about a spotted dog"):
+        insts.append({
+            "clip_image": rng.standard_normal((3, 224, 224)).astype(np.float32),
+            "sam_image": rng.standard_normal(
+                (3, CFG.sam.image_size, CFG.sam.image_size)).astype(np.float32),
+            "sam_resized_size": (CFG.sam.image_size, CFG.sam.image_size),
+            "question": seg_question(text), "answer": None, "gt_masks": None,
+            "height": 32, "width": 32, "file_name": "x",
+        })
+    batch = col(insts)
+    plain = Predictor(params, CFG, max_new_tokens=8, speculative=False)
+    spec = Predictor(params, CFG, max_new_tokens=8, speculative=True)
+    ids_p, masks_p = plain.predict(batch)
+    ids_s, masks_s = spec.predict(batch)
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_s))
+    for mp, ms in zip(masks_p, masks_s):
+        assert (mp is None) == (ms is None)
+        if mp is not None:
+            np.testing.assert_allclose(mp, ms, rtol=2e-4, atol=2e-4)
