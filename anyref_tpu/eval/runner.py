@@ -44,8 +44,8 @@ class Predictor:
         if speculative:
             from ..models import llama as llama_mod
             self.params = dict(self.params)
-            self.params["llama"] = llama_mod.transpose_for_serving(
-                self.params["llama"])
+            self.params["llama"] = llama_mod.fuse_for_serving(
+                llama_mod.transpose_for_serving(self.params["llama"]))
         self._jitted = {}
 
     def _fn(self, keyset):

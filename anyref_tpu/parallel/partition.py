@@ -17,7 +17,8 @@ from jax.sharding import PartitionSpec as P
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
-_COL_KEYS = ("q", "k", "v", "gate", "up")   # output-feature sharded
+_COL_KEYS = ("q", "k", "v", "gate", "up",   # output-feature sharded
+             "qkv", "gate_up")              # fused serving layout
 _ROW_KEYS = ("o", "down")                    # input-feature sharded
 
 

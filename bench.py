@@ -94,17 +94,23 @@ def main():
     preset = os.environ.get("BENCH_PRESET", "7b")
     n_queries = int(os.environ.get("BENCH_QUERIES", "8"))
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
-    batch_size = int(os.environ.get("BENCH_BATCH", "1"))
+    # DEFAULTS = the DEFENSIBLE operating point, not the best case: batch 2
+    # (single-chip HBM max; batch 4 fails compile), acceptance capped at 8
+    # tok/pass (measured floor on a non-degenerate overfit model is 4.12;
+    # referring answers echo the prompt, so real 7B checkpoints land between
+    # that and full echo), draft_len 15 (keeps batch-2 verify chunks at 32
+    # rows, inside the flat weight-streaming zone; 31 was tuned to the
+    # degenerate full-echo regime). Best case (BENCH_BATCH=1
+    # BENCH_FORCE_ACCEPT= BENCH_DRAFT_LEN=31): 6.67 q/s. Full curve:
+    # BASELINE.md.
+    batch_size = int(os.environ.get("BENCH_BATCH", "2"))
     speculative = os.environ.get("BENCH_SPECULATIVE", "1") == "1"
-    # verify-chunk cost is flat in draft length (measured 24-25 ms for
-    # G+1 in 5..33 vs 20.4 ms single-token), so long drafts are ~free and
-    # accept more per pass; 31 finishes decode32 in ONE pass at full echo
-    # (measured 5.97 q/s vs 5.06 at draft16)
-    draft_len = int(os.environ.get("BENCH_DRAFT_LEN", "31"))
+    draft_len = int(os.environ.get("BENCH_DRAFT_LEN", "15"))
     # caps accepted tokens per verify pass: BENCH_FORCE_ACCEPT=k measures
     # the q/s a REAL checkpoint would see at k tokens/pass acceptance
-    # (outputs stay exactly the greedy stream; the cap only splits passes)
-    force_accept = os.environ.get("BENCH_FORCE_ACCEPT")
+    # (outputs stay exactly the greedy stream; the cap only splits passes);
+    # empty value = uncapped
+    force_accept = os.environ.get("BENCH_FORCE_ACCEPT", "8")
     max_accept = int(force_accept) if force_accept else None
 
     import jax
@@ -120,7 +126,8 @@ def main():
                 # weight copies for the multi-row verify chunks (see
                 # llama.transpose_for_serving)
                 from anyref_tpu.models import llama as llama_mod
-                params["llama"] = llama_mod.transpose_for_serving(params["llama"])
+                params["llama"] = llama_mod.fuse_for_serving(
+                    llama_mod.transpose_for_serving(params["llama"]))
             batch = make_batch(cfg, batch_size=batch_size)
 
             def run(params, cfg_, batch):
@@ -166,7 +173,8 @@ def main():
             print(json.dumps({
                 "metric": (f"e2e_queries_per_sec_per_chip[{attempt},"
                            f"decode{decode_tokens},batch{batch_size}"
-                           f"{',spec' if speculative else ''}]"),
+                           f"{',spec' if speculative else ''}"
+                           f"{f',accept{max_accept}' if max_accept else ''}]"),
                 "value": round(qps, 3),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / 5.0, 3),

@@ -1,0 +1,101 @@
+"""Serving-layout weight fusion: fused QKV / gate+up matmuls must be exact.
+
+Concatenating projection weights along the output dim leaves every output
+element's dot product unchanged (same contraction, same reduction dim), so
+fused and unfused paths must agree to numerical noise, through both the
+raw decoder entry points and the full generate pipeline.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anyref_tpu.config import anyref_tiny
+from anyref_tpu.models import anyref, llama
+
+
+CFG = anyref_tiny()
+
+
+def _copy(tree):
+    return jax.tree.map(lambda x: x, tree)
+
+
+def test_fused_prefill_decode_match_unfused():
+    lcfg = CFG.llama
+    params = llama.init(jax.random.key(0), lcfg, dtype=jnp.float32)
+    fused = llama.fuse_for_serving(llama.transpose_for_serving(_copy(params)))
+
+    B, L = 2, 12
+    emb = jax.random.normal(jax.random.key(1), (B, L, lcfg.hidden_size),
+                            jnp.float32)
+    cache = llama.init_cache(lcfg, B, L + 8, dtype=jnp.float32)
+
+    h0, c0 = llama.prefill(params, lcfg, emb, cache)
+    h1, c1 = llama.prefill(fused, lcfg, emb, cache)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c0.k), np.asarray(c1.k),
+                               rtol=2e-5, atol=2e-5)
+
+    step = jax.random.normal(jax.random.key(2), (B, 1, lcfg.hidden_size),
+                             jnp.float32)
+    d0, _ = llama.decode_step(params, lcfg, step, jnp.int32(L), c0)
+    d1, _ = llama.decode_step(fused, lcfg, step, jnp.int32(L), c1)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_generate_ids_match():
+    params = anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
+    fused = _copy(params)
+    fused["llama"] = llama.fuse_for_serving(
+        llama.transpose_for_serving(_copy(params["llama"])))
+
+    rng = np.random.default_rng(0)
+    ids = np.zeros((1, 24), np.int32)
+    ids[0, -10:] = rng.integers(3, 100, 10)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "clip_images": jnp.asarray(rng.standard_normal(
+            (1, 3, CFG.clip.image_size, CFG.clip.image_size)), jnp.float32),
+        "sam_images": jnp.asarray(rng.standard_normal(
+            (1, 3, CFG.sam.image_size, CFG.sam.image_size)), jnp.float32),
+    }
+    out0 = anyref.generate(params, CFG, batch, max_new_tokens=6)
+    out1 = anyref.generate(fused, CFG, batch, max_new_tokens=6)
+    np.testing.assert_array_equal(np.asarray(out0.output_ids),
+                                  np.asarray(out1.output_ids))
+    out2 = anyref.generate(fused, CFG, batch, max_new_tokens=6,
+                           speculative=True, draft_len=5)
+    np.testing.assert_array_equal(np.asarray(out0.output_ids),
+                                  np.asarray(out2.output_ids))
+
+
+def test_fuse_is_idempotent_and_shapes():
+    lcfg = CFG.llama
+    params = llama.transpose_for_serving(
+        llama.init(jax.random.key(0), lcfg, dtype=jnp.float32))
+    fused = llama.fuse_for_serving(params)
+    fused = llama.fuse_for_serving(fused)  # second call is a no-op
+    lay = fused["layers"][0]
+    nq = lcfg.num_heads * lcfg.head_dim
+    nkv = lcfg.num_kv_heads * lcfg.head_dim
+    assert lay["attn"]["qkv"]["w_t"].shape == (nq + 2 * nkv, lcfg.hidden_size)
+    assert lay["mlp"]["gate_up"]["w_t"].shape == (
+        2 * lcfg.intermediate_size, lcfg.hidden_size)
+    assert "q" not in lay["attn"] and "gate" not in lay["mlp"]
+
+
+def test_partition_spec_covers_fused_keys():
+    from anyref_tpu.parallel import partition
+    from jax.sharding import PartitionSpec as P
+
+    lcfg = CFG.llama
+    params = llama.fuse_for_serving(llama.transpose_for_serving(
+        llama.init(jax.random.key(0), lcfg, dtype=jnp.float32)))
+    spec = partition.llama_spec(params)
+    lay = spec["layers"][0]
+    assert lay["attn"]["qkv"]["w_t"] == P(partition.MODEL_AXIS, None)
+    assert lay["mlp"]["gate_up"]["w_t"] == P(partition.MODEL_AXIS, None)
