@@ -90,6 +90,42 @@ def make_batch(cfg, prompt_bucket=129, batch_size=1):
     return batch
 
 
+def _launcher():
+    """Watchdog wrapper: run the real bench in a subprocess with a deadline,
+    retrying with backoff. Protects the recorded metric against the two
+    observed transient failure modes of the axon tunnel — a process-wedging
+    "ABORTED: TPU backend error" (exception; fresh processes pass) and a
+    device-level hang where even trivial programs never complete (clears
+    after a wait). Attempt count lands in the JSON as "retries" so a
+    recurring failure is loud, not masked."""
+    import subprocess
+
+    deadline = int(os.environ.get("BENCH_DEADLINE_S", "780"))
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    for attempt in range(attempts):
+        env = dict(os.environ, BENCH_INNER="1", BENCH_RETRIED=str(attempt))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE, text=True, timeout=deadline)
+            line = next((ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("{")), None)
+            if line is not None and json.loads(line).get("value", 0) > 0:
+                sys.stdout.write(line + "\n")
+                return
+            sys.stderr.write(f"bench attempt {attempt}: no result "
+                             f"(rc={proc.returncode})\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt {attempt}: hung past "
+                             f"{deadline}s (wedged device?), killed\n")
+        if attempt + 1 < attempts:
+            time.sleep(int(os.environ.get("BENCH_BACKOFF_S", "90")))
+    print(json.dumps({"metric": "e2e_queries_per_sec_per_chip",
+                      "value": 0.0, "unit": "queries/s",
+                      "vs_baseline": 0.0,
+                      "retries": attempts - 1}))
+
+
 def main():
     preset = os.environ.get("BENCH_PRESET", "7b")
     n_queries = int(os.environ.get("BENCH_QUERIES", "8"))
@@ -192,22 +228,11 @@ def main():
         except Exception as e:  # OOM fallback chain
             sys.stderr.write(f"bench[{attempt}] failed: {str(e)[:400]}\n")
             continue
-    # A transient "ABORTED: TPU backend error" has been observed to wedge an
-    # entire process (every attempt in it fails) while fresh processes pass;
-    # retry once in a clean subprocess before reporting 0.
-    if os.environ.get("BENCH_RETRIED") != "1":
-        sys.stderr.write("bench: all attempts failed; retrying once in a "
-                         "fresh process\n")
-        import subprocess
-        env = dict(os.environ, BENCH_RETRIED="1")
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, stdout=subprocess.PIPE, text=True)
-        sys.stdout.write(proc.stdout)
-        return
-    print(json.dumps({"metric": "e2e_queries_per_sec_per_chip",
-                      "value": 0.0, "unit": "queries/s",
-                      "vs_baseline": 0.0}))
+    sys.exit(1)  # all presets failed; the launcher retries in a fresh process
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER") == "1":
+        main()
+    else:
+        _launcher()
