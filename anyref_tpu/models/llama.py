@@ -129,18 +129,28 @@ def fuse_for_serving(params: dict) -> dict:
     return params
 
 
-def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+def _rope_tables(positions: jax.Array, hd: int,
+                 theta: float) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables [B, 1, L, hd/2], computed ONCE per forward and shared
+    by all layers (every layer sees the same positions; recomputing the
+    tables per layer leaned on XLA CSE that does not reach across the
+    per-layer fusion boundaries)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    if positions.ndim == 1:
+        positions = positions[None]
+    ang = positions.astype(jnp.float32)[:, None, :, None] * inv_freq
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float,
+          tables: Optional[tuple[jax.Array, jax.Array]] = None) -> jax.Array:
     """Rotary embedding, HF llama convention (rotate_half over dim halves).
 
     x: [B, heads, L, hd]; positions: [B, L] or [L].
     """
     hd = x.shape[-1]
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
-    if positions.ndim == 1:
-        positions = positions[None]
-    ang = positions.astype(jnp.float32)[:, None, :, None] * inv_freq  # [B,1,L,hd/2]
-    cos = jnp.cos(ang)
-    sin = jnp.sin(ang)
+    cos, sin = tables if tables is not None else _rope_tables(
+        positions, hd, theta)
     x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
     xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
     r1 = xf1 * cos - xf2 * sin
@@ -167,6 +177,7 @@ def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
            use_flash: bool = True,
            fused_norms: bool = False,
            layer_idx: Optional[int] = None,
+           rope_tables: Optional[tuple[jax.Array, jax.Array]] = None,
            ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
     """mode: "full" (training, no cache), "prefill" (fill cache, attend over
     the fresh prompt keys — keeps the flash path), "decode" (one step
@@ -194,8 +205,8 @@ def _layer(p, cfg: LlamaConfig, x: jax.Array, positions: jax.Array,
     q = _split_heads(q_p, cfg.num_heads, cfg.head_dim)
     k = _split_heads(k_p, cfg.num_kv_heads, cfg.head_dim)
     v = _split_heads(v_p, cfg.num_kv_heads, cfg.head_dim)
-    q = _rope(q, positions, cfg.rope_theta)
-    k = _rope(k, positions, cfg.rope_theta)
+    q = _rope(q, positions, cfg.rope_theta, tables=rope_tables)
+    k = _rope(k, positions, cfg.rope_theta, tables=rope_tables)
 
     new_kv = None
     if mode != "full":
@@ -252,12 +263,13 @@ def forward(params: dict, cfg: LlamaConfig, embeds: jax.Array,
     if positions is None:
         positions = jnp.arange(L)
     x = embeds
+    rt = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     last_in = None
     for p in params["layers"]:
         if p is params["layers"][-1]:
             last_in = x
         x, _ = _layer(p, cfg, x, positions, "full", kv_len=kv_len,
-                      use_flash=kv_len is None)
+                      use_flash=kv_len is None, rope_tables=rt)
     out = rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps)
     if return_last_input:
         return out, last_in
@@ -287,6 +299,7 @@ def prefill(params: dict, cfg: LlamaConfig, embeds: jax.Array,
         positions = jnp.maximum(
             jnp.arange(L)[None, :] - pad_len[:, None], 0)
     x = embeds
+    rt = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     ck, cv = cache.k, cache.v
     last_in = None
     for i, p in enumerate(params["layers"]):
@@ -295,7 +308,7 @@ def prefill(params: dict, cfg: LlamaConfig, embeds: jax.Array,
         x, (ck, cv) = _layer(p, cfg, x, positions, "prefill",
                              (ck, cv), jnp.int32(0),
                              kv_start=pad_len, fused_norms=True,
-                             layer_idx=i)
+                             layer_idx=i, rope_tables=rt)
     out = (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
            KVCache(ck, cv))
     return out + (last_in,) if return_last_input else out
@@ -314,13 +327,15 @@ def decode_step(params: dict, cfg: LlamaConfig, embeds: jax.Array,
         positions = jnp.reshape(pos, (1,))
     else:
         positions = (pos - pad_len)[:, None]
+    rt = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     ck, cv = cache.k, cache.v
     last_in = None
     for i, p in enumerate(params["layers"]):
         if i == len(params["layers"]) - 1:
             last_in = x
         x, (ck, cv) = _layer(p, cfg, x, positions, "decode",
-                             (ck, cv), pos, kv_start=pad_len, layer_idx=i)
+                             (ck, cv), pos, kv_start=pad_len, layer_idx=i,
+                             rope_tables=rt)
     out = (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
            KVCache(ck, cv))
     return out + (last_in,) if return_last_input else out
@@ -342,13 +357,15 @@ def decode_chunk(params: dict, cfg: LlamaConfig, embeds: jax.Array,
     else:
         positions = (pos + jnp.arange(G)[None, :]) - pad_len[:, None]
     x = embeds
+    rt = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     ck, cv = cache.k, cache.v
     last_in = None
     for i, p in enumerate(params["layers"]):
         if i == len(params["layers"]) - 1:
             last_in = x
         x, (ck, cv) = _layer(p, cfg, x, positions, "decode",
-                             (ck, cv), pos, kv_start=pad_len, layer_idx=i)
+                             (ck, cv), pos, kv_start=pad_len, layer_idx=i,
+                             rope_tables=rt)
     out = (rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps),
            KVCache(ck, cv))
     return out + (last_in,) if return_last_input else out

@@ -77,34 +77,49 @@ def main():
     embeds = jax.random.normal(key, (1, Lp, D), jnp.bfloat16)
     cache = llama_mod.init_cache(cfg.llama, 1, Lp + 160, dtype=jnp.bfloat16)
 
+    pf = jax.jit(functools.partial(llama_mod.prefill, cfg=cfg.llama))
     if "prefill" in stages:
-        pf = jax.jit(functools.partial(llama_mod.prefill, cfg=cfg.llama))
         t = timeit(lambda: pf(params["llama"], embeds=embeds, cache=cache),
                    n=4)
         emit(probe=f"prefill{Lp}_ms", value=round(t * 1e3, 2))
 
-    params_t = llama_mod.transpose_for_serving(
-        {"layers": [dict(l) for l in params["llama"]["layers"]],
-         "embed_tokens": params["llama"]["embed_tokens"],
-         "final_norm": params["llama"]["final_norm"],
-         "lm_head": params["llama"]["lm_head"]})
+    def steps(pl, cache, n):
+        def body(c, _):
+            cache, tok = c
+            emb = llama_mod.embed(pl, tok[:, None], dtype=jnp.bfloat16)
+            h, cache = llama_mod.decode_step(pl, cfg.llama, emb,
+                                             jnp.int32(Lp), cache)
+            lg = llama_mod.logits(pl, h[:, 0])
+            return (cache, jnp.argmax(lg, -1).astype(jnp.int32)), ()
+        (cache, tok), _ = jax.lax.scan(body, (cache, jnp.zeros((1,), jnp.int32)),
+                                       None, length=n)
+        return tok
 
     if "decode" in stages:
-        def steps(pl, cache, n):
-            def body(c, _):
-                cache, tok = c
-                emb = llama_mod.embed(pl, tok[:, None], dtype=jnp.bfloat16)
-                h, cache = llama_mod.decode_step(pl, cfg.llama, emb,
-                                                 jnp.int32(Lp), cache)
-                lg = llama_mod.logits(pl, h[:, 0])
-                return (cache, jnp.argmax(lg, -1).astype(jnp.int32)), ()
-            (cache, tok), _ = jax.lax.scan(body, (cache, jnp.zeros((1,), jnp.int32)),
-                                           None, length=n)
-            return tok
-        for name, pl in (("", params["llama"]), ("_transposed", params_t)):
-            f = jax.jit(functools.partial(steps, n=16))
-            t = timeit(lambda: f(pl, cache), n=3) / 16
-            emit(probe=f"decode_step{name}_ms", value=round(t * 1e3, 2))
+        f = jax.jit(functools.partial(steps, n=16))
+        t = timeit(lambda: f(params["llama"], cache), n=3) / 16
+        emit(probe="decode_step_ms", value=round(t * 1e3, 2))
+
+    # serving transforms IN PLACE, measured in sequence: 16 GiB HBM cannot
+    # hold two 13.5 GiB decoder variants at once, so there is exactly one
+    # resident copy and the plain probes above must run first (the draft0
+    # generate probe below therefore runs on the fused layout too)
+    params_t = llama_mod.transpose_for_serving(params["llama"])
+
+    if "decode" in stages:
+        f = jax.jit(functools.partial(steps, n=16))
+        t = timeit(lambda: f(params_t, cache), n=3) / 16
+        emit(probe="decode_step_transposed_ms", value=round(t * 1e3, 2))
+
+    params_f = llama_mod.fuse_for_serving(params_t)
+
+    if "prefill" in stages:
+        t = timeit(lambda: pf(params_f, embeds=embeds, cache=cache), n=4)
+        emit(probe=f"prefill{Lp}_fused_ms", value=round(t * 1e3, 2))
+    if "decode" in stages:
+        f = jax.jit(functools.partial(steps, n=16))
+        t = timeit(lambda: f(params_f, cache), n=3) / 16
+        emit(probe="decode_step_fused_ms", value=round(t * 1e3, 2))
 
     if "chunk" in stages:
         for G in (5, 9, 17, 25, 33):
@@ -114,13 +129,13 @@ def main():
                                                    jnp.int32(Lp), cache)
                 lg = llama_mod.logits(pl, h[0])
                 return jnp.argmax(lg, -1)
-            t = timeit(jax.jit(chunk), params_t, cache, n=6)
+            t = timeit(jax.jit(chunk), params_f, cache, n=6)
             emit(probe=f"verify_chunk{G}_ms", value=round(t * 1e3, 2))
 
     if "generate" in stages:
         for draft in (0, 4, 8, 16):
             spec = draft > 0
-            pl = params_t if spec else params["llama"]
+            pl = params_f if spec else params["llama"]
             p2 = dict(params); p2["llama"] = pl
 
             def run(p2, batch):
