@@ -191,15 +191,25 @@ def _fused_window_layer(p, xw: jax.Array, cfg: SamConfig,
 
 
 def _fused_window_layer_enabled(cfg: SamConfig) -> bool:
-    # OPT-IN (r3): on the day it was built the shared v5e ran 5-8x below
-    # spec (HBM 93-130 GB/s vs 819, MXU 41-60 TFLOP/s vs 197 — external
-    # contention), so only same-conditions relative numbers exist: fused
-    # 2.9-3.1 ms/layer vs 3.5 unfused on the 24-layer chain harness
-    # (~15% better), at the cost of minutes more Mosaic compile time.
-    # Flip default once a healthy-chip e2e delta is recorded.
+    # DEFAULT ON for TPU (r3, healthy-chip measurements): SAM-H encode
+    # 83.9 -> 76.3 ms standalone and e2e bench 5.74 -> 6.70 q/s/chip at the
+    # defensible operating point, same day, same chip. The earlier "hung
+    # compiling inside the full 7B program" was root-caused: with WG=5
+    # (5 windows x 16 heads = 80 unrolled attention bodies per grid step)
+    # the axon remote-compile helper is SIGKILLed ("tpu_compile_helper
+    # subprocess exit signal SIGKILL (9)" — compile-memory blowup), which
+    # from the client looks like a hang/opaque failure. ANYREF_FUSED_WG
+    # caps the unroll; the default cap of 1 compiles in seconds and wins
+    # e2e. CPU stays on the unfused resident path (interpret-mode Pallas
+    # for 24 layers x 25 windows would bloat the suite); the equivalence
+    # test forces the kernel on via ANYREF_FUSED_WINDOW_BLOCK=1.
     ws = cfg.window_size
-    return (os.environ.get("ANYREF_FUSED_WINDOW_BLOCK", "0") == "1"
-            and 64 <= ws * ws <= 1024)
+    if not 64 <= ws * ws <= 1024:
+        return False
+    env = os.environ.get("ANYREF_FUSED_WINDOW_BLOCK")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 
 def _block_windowed_resident(p, xw: jax.Array, mask: jax.Array,

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -688,8 +689,14 @@ def fused_window_block(xw, ln1, qkv_p, tht, twt, proj_p, ln2, mlp1_p, mlp2_p,
     H, W = grid_hw
     nwr = -(-H // ws)
     nw = nwr * nwc
-    # windows per grid step: merged-GEMM M dimension = WG * L
-    WG = next((g for g in (5, 4, 3, 2, 1) if NW % g == 0), 1)
+    # windows per grid step: merged-GEMM M dimension = WG * L. Larger WG
+    # raises MXU M-utilization but the kernel body unrolls WG*nh attention
+    # heads and Mosaic compile cost grows with it: at WG=5 (80 bodies) the
+    # axon remote-compile helper dies with SIGKILL (compile-memory blowup,
+    # observed 2026-08-17); WG=1 compiles in seconds and still beats the
+    # unfused path e2e (5.74 -> 6.70 q/s). ANYREF_FUSED_WG raises the cap.
+    wg_cap = int(os.environ.get("ANYREF_FUSED_WG", "1"))
+    WG = next((g for g in (5, 4, 3, 2, 1) if NW % g == 0 and g <= wg_cap), 1)
     mlp_dim = mlp1_p["w"].shape[1]
     kernel = functools.partial(
         _fused_window_block_kernel, eps=eps, nh=num_heads, hd=hd, ws=ws,
