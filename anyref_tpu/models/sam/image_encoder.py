@@ -192,16 +192,17 @@ def _fused_window_layer(p, xw: jax.Array, cfg: SamConfig,
 
 def _fused_window_layer_enabled(cfg: SamConfig) -> bool:
     # DEFAULT ON for TPU (r3, healthy-chip measurements): SAM-H encode
-    # 83.9 -> 76.3 ms standalone and e2e bench 5.74 -> 6.70 q/s/chip at the
-    # defensible operating point, same day, same chip. The earlier "hung
-    # compiling inside the full 7B program" was root-caused: with WG=5
-    # (5 windows x 16 heads = 80 unrolled attention bodies per grid step)
-    # the axon remote-compile helper is SIGKILLed ("tpu_compile_helper
-    # subprocess exit signal SIGKILL (9)" — compile-memory blowup), which
-    # from the client looks like a hang/opaque failure. ANYREF_FUSED_WG
-    # caps the unroll; the default cap of 1 compiles in seconds and wins
-    # e2e. CPU stays on the unfused resident path (interpret-mode Pallas
-    # for 24 layers x 25 windows would bloat the suite); the equivalence
+    # 83.9 -> 71.6 ms standalone and e2e bench 5.74 -> 7.30 q/s/chip at
+    # the defensible operating point, same day, same chip. The earlier
+    # "hung compiling inside the full 7B program" was root-caused: fully
+    # unrolling WG windows x 16 heads of attention bodies blows up the
+    # Mosaic compile (the axon remote-compile helper is SIGKILLed —
+    # "tpu_compile_helper subprocess exit signal SIGKILL (9)"), which from
+    # the client looks like a hang/opaque failure. The kernel now iterates
+    # windows via an in-kernel fori_loop (nh unrolled bodies at any WG;
+    # see ops/flash.py fused_window_block for the WG default/tradeoffs).
+    # CPU stays on the unfused resident path (interpret-mode Pallas for
+    # 24 layers x 25 windows would bloat the suite); the equivalence
     # test forces the kernel on via ANYREF_FUSED_WINDOW_BLOCK=1.
     ws = cfg.window_size
     if not 64 <= ws * ws <= 1024:

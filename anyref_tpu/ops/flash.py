@@ -560,10 +560,10 @@ def _gelu_exact(x):
 
 
 def _fused_window_block_kernel(
-        x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, tht_ref, twt_ref,
+        x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, tcat_ref,
         wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
-        b2_ref, o_ref, *, eps: float, nh: int, hd: int, ws: int, nwc: int,
-        nw: int, H: int, W: int, WG: int):
+        b2_ref, o_ref, *scratch, eps: float, nh: int, hd: int, ws: int,
+        nwc: int, nw: int, H: int, W: int, WG: int, TP: int):
     """WG ENTIRE windowed ViTDet blocks per grid step:
     LN1 + pad-mask + fused-QKV projection + rel-pos attention (all heads) +
     output projection + residual + LN2 + MLP + residual — no intermediate
@@ -607,11 +607,6 @@ def _fused_window_block_kernel(
         + bqkv_ref[0].astype(jnp.float32)                  # [WL, 3C]
     qkv3 = qkv.astype(o_ref.dtype).reshape(WG, L, 3 * C)
 
-    # static bias-expansion indicators over the key axis
-    kk = jax.lax.broadcasted_iota(jnp.int32, (L, ws), 0)
-    ss = jax.lax.broadcasted_iota(jnp.int32, (L, ws), 1)
-    expand_hk = (kk // ws == ss).astype(jnp.float32)       # [L, ws]
-    expand_wk = (kk % ws == ss).astype(jnp.float32)
     # per-query row/col selectors for the table row (leading-axis mask)
     qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
     jj = jax.lax.broadcasted_iota(jnp.int32, (ws, 1, 1), 0)
@@ -619,39 +614,59 @@ def _fused_window_block_kernel(
     sel_w = (jj == qpos % ws).astype(jnp.float32)
 
     scale = hd ** -0.5
-    wouts = []
-    for w in range(WG):
+
+    def win_attn(qkv_w):
+        """Attention for ONE window's [L, 3C] fused-QKV rows -> [L, C]."""
         outs = []
         for hh in range(nh):
-            q = qkv3[w, :, hh * hd:(hh + 1) * hd]
-            k = qkv3[w, :, C + hh * hd:C + (hh + 1) * hd]
-            v = qkv3[w, :, 2 * C + hh * hd:2 * C + (hh + 1) * hd]
+            q = qkv_w[:, hh * hd:(hh + 1) * hd]
+            k = qkv_w[:, C + hh * hd:C + (hh + 1) * hd]
+            v = qkv_w[:, 2 * C + hh * hd:2 * C + (hh + 1) * hd]
+            # 3 dots per head (down from 7): scores, ONE merged table
+            # projection (tht and twt pre-stacked host-side at aligned
+            # sublane offsets 0 / TP — M 196 -> 404 rows on the MXU), and
+            # PV; the old two bias-EXPANSION dots are now pure sublane
+            # broadcasts (bias[k, q] = rh_t[k//ws, q] + rw_t[k%ws, q]).
+            st_t = jax.lax.dot_general(
+                tcat_ref[...].astype(q.dtype), q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [TP+L, L]
             # G_T[(j, s), q] = q[q] . table[j, s]; select j == qh(q)/qw(q)
-            ght = jax.lax.dot_general(
-                tht_ref[...].astype(q.dtype), q, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [ws*ws, L]
-            rh_t = jnp.sum(ght.reshape(ws, ws, L) * sel_h, axis=0)
-            gwt = jax.lax.dot_general(
-                twt_ref[...].astype(q.dtype), q, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            rw_t = jnp.sum(gwt.reshape(ws, ws, L) * sel_w, axis=0)
+            rh_t = jnp.sum(st_t[:L].reshape(ws, ws, L) * sel_h, axis=0)
+            rw_t = jnp.sum(st_t[TP:TP + L].reshape(ws, ws, L) * sel_w,
+                           axis=0)                         # [ws, L]
+            bias = (jnp.broadcast_to(rh_t[:, None, :], (ws, ws, L))
+                    + jnp.broadcast_to(rw_t[None, :, :], (ws, ws, L))
+                    ).reshape(L, L)                        # [L(k), L(q)]
             s_t = jax.lax.dot_general(
                 k, q, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # [L(k), L(q)]
-            s_t = s_t + jax.lax.dot_general(
-                expand_hk, rh_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s_t = s_t + jax.lax.dot_general(
-                expand_wk, rw_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32) * scale + bias
             m = jnp.max(s_t, axis=0, keepdims=True)        # over keys
             p = jnp.exp(s_t - m)
             p = p / jnp.sum(p, axis=0, keepdims=True)
             outs.append(jax.lax.dot_general(
                 p.astype(v.dtype), v, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))       # [L(q), hd]
-        wouts.append(jnp.concatenate(outs, axis=1)[None])  # [1, L, C]
-    attn = jnp.concatenate(wouts, axis=0).astype(o_ref.dtype)
+        return jnp.concatenate(outs, axis=1)               # [L, C]
+
+    if WG == 1:
+        attn = win_attn(qkv3[0])[None].astype(o_ref.dtype)
+    else:
+        # windows iterate via fori_loop so the unrolled program stays at
+        # nh bodies regardless of WG (WG*nh unrolled bodies blow up the
+        # Mosaic compile — remote helper SIGKILL at WG=5) while the three
+        # GEMMs still run on WG-merged rows (M = WG*L). Mosaic has no
+        # dynamic_slice on VALUES, so the loop stages through VMEM scratch
+        # REFS (dynamic leading-dim ref indexing is supported).
+        qkv_s, attn_s = scratch
+        qkv_s[...] = qkv3
+
+        def win_body(w, _):
+            attn_s[w] = win_attn(qkv_s[w]).astype(attn_s.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, WG, win_body, 0)
+        attn = attn_s[...]
+    attn = attn.astype(o_ref.dtype)
     proj = jax.lax.dot_general(
         attn.reshape(WL, C), wproj_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) \
@@ -689,18 +704,32 @@ def fused_window_block(xw, ln1, qkv_p, tht, twt, proj_p, ln2, mlp1_p, mlp2_p,
     H, W = grid_hw
     nwr = -(-H // ws)
     nw = nwr * nwc
-    # windows per grid step: merged-GEMM M dimension = WG * L. Larger WG
-    # raises MXU M-utilization but the kernel body unrolls WG*nh attention
-    # heads and Mosaic compile cost grows with it: at WG=5 (80 bodies) the
-    # axon remote-compile helper dies with SIGKILL (compile-memory blowup,
-    # observed 2026-08-17); WG=1 compiles in seconds and still beats the
-    # unfused path e2e (5.74 -> 6.70 q/s). ANYREF_FUSED_WG raises the cap.
-    wg_cap = int(os.environ.get("ANYREF_FUSED_WG", "1"))
-    WG = next((g for g in (5, 4, 3, 2, 1) if NW % g == 0 and g <= wg_cap), 1)
+    # windows per grid step: merged-GEMM M dimension = WG * L (196 alone
+    # fills MXU M-tiles at ~77%; merged windows approach ~96%). Attention
+    # iterates windows via fori_loop so the unrolled program stays at nh
+    # bodies regardless of WG — fully unrolling WG*nh bodies blew up the
+    # Mosaic compile (remote-helper SIGKILL at 80 bodies). The default cap
+    # is 2: WG=5 is a little faster standalone (68.4 vs ~70 ms SAM-H) but
+    # its VMEM appetite RESOURCE_EXHAUSTs the full 7B batch-2 serving
+    # program, the single-chip operating point (e2e: WG=1 6.91, WG=2
+    # 7.12 q/s). NW is zero-padded up to a WG multiple (the pad windows'
+    # outputs are computed and dropped).
+    wg_cap = int(os.environ.get("ANYREF_FUSED_WG", "2"))
+    WG = max(1, min(wg_cap, 5))
+    NWp = -(-NW // WG) * WG
+    if NWp != NW:
+        xw = jnp.pad(xw, ((0, NWp - NW), (0, 0), (0, 0)))
     mlp_dim = mlp1_p["w"].shape[1]
+    # pre-stack the two gathered rel-pos tables at SUBLANE-ALIGNED offsets
+    # (0 and TP, TP = L rounded up to 16) so the kernel reads both with one
+    # dot and two aligned row slices — Mosaic cannot concat misaligned
+    # operands in-kernel (L=196 is 4 (mod 16))
+    TP = -(-L // 16) * 16
+    tcat = jnp.zeros((TP + L, hd), tht.dtype)
+    tcat = tcat.at[:L].set(tht).at[TP:TP + L].set(twt)
     kernel = functools.partial(
         _fused_window_block_kernel, eps=eps, nh=num_heads, hd=hd, ws=ws,
-        nwc=nwc, nw=nw, H=H, W=W, WG=WG)
+        nwc=nwc, nw=nw, H=H, W=W, WG=WG, TP=TP)
     const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape))  # noqa: E731
     # the layer's weights live VMEM-resident (qkv + proj + both mlp mats),
     # which busts the default 16 MiB scoped-vmem cap; v5e has far more
@@ -712,32 +741,37 @@ def fused_window_block(xw, ln1, qkv_p, tht, twt, proj_p, ln2, mlp1_p, mlp2_p,
     stream_bytes = 4 * WL * C * esz
     vmem_budget = int(weight_bytes + stream_bytes
                       + (WL * 3 * C + 2 * WL * mlp_dim + 4 * L * L) * 4
+                      + (WL * 4 * C) * esz      # qkv + attn staging scratch
                       + (8 << 20))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(NW // WG,),
+        grid=(NWp // WG,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_budget, 120 << 20)),
         in_specs=[
             pl.BlockSpec((WG, L, C), lambda b: (b, 0, 0)),
             const((1, C)), const((1, C)),
             const((C, 3 * C)), const((1, 3 * C)),
-            const((L, hd)), const((L, hd)),
+            const((TP + L, hd)),
             const((C, C)), const((1, C)),
             const((1, C)), const((1, C)),
             const((C, mlp_dim)), const((1, mlp_dim)),
             const((mlp_dim, C)), const((1, C)),
         ],
         out_specs=pl.BlockSpec((WG, L, C), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NW, L, C), xw.dtype),
+        out_shape=jax.ShapeDtypeStruct((NWp, L, C), xw.dtype),
+        scratch_shapes=([pltpu.VMEM((WG, L, 3 * C), xw.dtype),
+                         pltpu.VMEM((WG, L, C), xw.dtype)]
+                        if WG > 1 else []),
         interpret=interpret,
     )(xw, ln1["scale"].reshape(1, C), ln1["bias"].reshape(1, C),
       qkv_p["w"], qkv_p["b"].reshape(1, 3 * C),
-      tht, twt,
+      tcat,
       proj_p["w"], proj_p["b"].reshape(1, C),
       ln2["scale"].reshape(1, C), ln2["bias"].reshape(1, C),
       mlp1_p["w"], mlp1_p["b"].reshape(1, mlp_dim),
       mlp2_p["w"], mlp2_p["b"].reshape(1, C))
+    return out[:NW] if NWp != NW else out
 
 
 def _relpos_qkv_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,

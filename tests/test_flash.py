@@ -1,6 +1,7 @@
 """Pallas flash kernels vs XLA oracle (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -219,11 +220,15 @@ def test_relpos_qkv_kernel_matches_split_path():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
-def test_fused_window_block_matches_resident_oracle(monkeypatch):
+@pytest.mark.parametrize("wg", ["1", "3", "4"])  # 4: NW=18 pads to 20
+def test_fused_window_block_matches_resident_oracle(monkeypatch, wg):
     """The whole-layer fused window kernel (LN1+mask+QKV+relpos attention+
     proj+residual+LN2+MLP) must equal the unfused resident path, including
-    in-kernel pad-mask computation on overhanging edge windows."""
+    in-kernel pad-mask computation on overhanging edge windows. wg=3
+    exercises the fori_loop-over-windows path (merged-row GEMMs with
+    per-window attention iteration)."""
     monkeypatch.setenv("ANYREF_QKV_WINDOW_KERNEL", "0")
+    monkeypatch.setenv("ANYREF_FUSED_WG", wg)
     from anyref_tpu.config import SamConfig
     from anyref_tpu.models.sam import image_encoder as enc
 
