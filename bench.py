@@ -90,20 +90,40 @@ def make_batch(cfg, prompt_bucket=129, batch_size=1):
     return batch
 
 
+def _measure_hbm_gbps(jax, jnp):
+    """~1 s HBM-bandwidth probe (same recipe as tools/bench_window_layer):
+    a chain of elementwise passes over a 64 MiB bf16 buffer, timed after a
+    warmup, counting one read + one write per pass."""
+    n = 32 * 1024 * 1024
+    x = jnp.full((n,), 1.0, jnp.bfloat16)
+    rep = 20
+    f = jax.jit(lambda v: [v := v * 1.000001 for _ in range(rep)][-1])
+    float(f(x)[0].astype(jnp.float32))  # compile + warmup
+    t0 = time.time()
+    float(f(x)[0].astype(jnp.float32))
+    return 2 * n * 2 / ((time.time() - t0) / rep) / 1e9
+
+
 def _launcher():
     """Watchdog wrapper: run the real bench in a subprocess with a deadline,
-    retrying with backoff. Protects the recorded metric against the two
-    observed transient failure modes of the axon tunnel — a process-wedging
-    "ABORTED: TPU backend error" (exception; fresh processes pass) and a
-    device-level hang where even trivial programs never complete (clears
-    after a wait). Attempt count lands in the JSON as "retries" so a
-    recurring failure is loud, not masked."""
+    retrying with backoff. Protects the recorded metric against the three
+    observed transient failure modes of the shared axon chip — a
+    process-wedging "ABORTED: TPU backend error" (exception; fresh processes
+    pass), a device-level hang where even trivial programs never complete
+    (clears after a wait), and a CONTENDED-chip window where everything runs
+    but ~10x slow (observed 65 GB/s HBM vs ~660 healthy; the inner process
+    measures bandwidth first and exits rc=3 below BENCH_MIN_HBM_GBPS so the
+    result isn't silently recorded at one-tenth speed — the FINAL attempt
+    runs regardless, so a persistently slow chip still records a number).
+    Attempt count lands in the JSON as "retries" and the measured bandwidth
+    as "hbm_gbps" so a retried/slow run is loud, not masked."""
     import subprocess
 
     deadline = int(os.environ.get("BENCH_DEADLINE_S", "780"))
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
     for attempt in range(attempts):
-        env = dict(os.environ, BENCH_INNER="1", BENCH_RETRIED=str(attempt))
+        env = dict(os.environ, BENCH_INNER="1", BENCH_RETRIED=str(attempt),
+                   BENCH_LAST_ATTEMPT=str(int(attempt + 1 == attempts)))
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
@@ -113,6 +133,12 @@ def _launcher():
             if line is not None and json.loads(line).get("value", 0) > 0:
                 sys.stdout.write(line + "\n")
                 return
+            if proc.returncode == 3:
+                sys.stderr.write(f"bench attempt {attempt}: chip unhealthy "
+                                 f"(contended HBM), backing off\n")
+                time.sleep(int(os.environ.get("BENCH_HEALTH_BACKOFF_S",
+                                              "240")))
+                continue
             sys.stderr.write(f"bench attempt {attempt}: no result "
                              f"(rc={proc.returncode})\n")
         except subprocess.TimeoutExpired:
@@ -153,6 +179,18 @@ def main():
     import jax.numpy as jnp
 
     from anyref_tpu.models import anyref
+
+    # chip-health calibration: the shared v5e sometimes serves a contended
+    # window at ~1/10 bandwidth (observed 65 vs ~660 GB/s). A number taken
+    # there says nothing about the code; exit rc=3 so the launcher backs off
+    # and retries — except on the last attempt, which records what it can.
+    hbm_gbps = _measure_hbm_gbps(jax, jnp)
+    min_hbm = float(os.environ.get("BENCH_MIN_HBM_GBPS", "350"))
+    if (hbm_gbps < min_hbm
+            and os.environ.get("BENCH_LAST_ATTEMPT", "1") != "1"):
+        sys.stderr.write(f"chip unhealthy: HBM ~{hbm_gbps:.0f} GB/s "
+                         f"< {min_hbm:.0f}\n")
+        sys.exit(3)
 
     for attempt in ([preset] if preset != "7b" else ["7b", "7b-noaudio"]):
         try:
@@ -223,6 +261,9 @@ def main():
                 # transient TPU ABORT) and this result came from the fresh
                 # retry process — loud in the recorded JSON, not masked
                 "retries": int(os.environ.get("BENCH_RETRIED", "0")),
+                # measured chip bandwidth at run time (healthy ~660 GB/s):
+                # contextualizes the number if the shared chip was contended
+                "hbm_gbps": round(hbm_gbps),
             }))
             return
         except Exception as e:  # OOM fallback chain
