@@ -563,7 +563,7 @@ def _fused_window_block_kernel(
         x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, tcat_ref,
         wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
         b2_ref, o_ref, *scratch, eps: float, nh: int, hd: int, ws: int,
-        nwc: int, nw: int, H: int, W: int, WG: int, TP: int):
+        nwc: int, nw: int, H: int, W: int, WG: int, TP: int, MC: int):
     """WG ENTIRE windowed ViTDet blocks per grid step:
     LN1 + pad-mask + fused-QKV projection + rel-pos attention (all heads) +
     output projection + residual + LN2 + MLP + residual — no intermediate
@@ -674,15 +674,21 @@ def _fused_window_block_kernel(
     x1 = x3.reshape(WL, C) + proj                          # [WL, C] fp32
 
     h2 = ln(x1, ln2s_ref, ln2b_ref).astype(o_ref.dtype)
-    m1 = jax.lax.dot_general(
-        h2, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) \
-        + b1_ref[0].astype(jnp.float32)
-    m1 = _gelu_exact(m1).astype(o_ref.dtype)
-    m2 = jax.lax.dot_general(
-        m1, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) \
-        + b2_ref[0].astype(jnp.float32)
+    # MLP in MC-wide column chunks: the full fp32 hidden [WL, mlp_dim] is the
+    # kernel's largest temporary (20 MiB at WG=5 / mlp 5120) and is what
+    # RESOURCE_EXHAUSTed the batch-2 serving program at WG=5; chunking keeps
+    # only [WL, MC] fp32 live (same dot FLOPs, fp32-accumulated partial sums)
+    mlp_dim = w1_ref.shape[1]
+    m2 = jnp.broadcast_to(b2_ref[0].astype(jnp.float32), (WL, C))
+    for c0 in range(0, mlp_dim, MC):
+        m1c = jax.lax.dot_general(
+            h2, w1_ref[:, c0:c0 + MC], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) \
+            + b1_ref[0, c0:c0 + MC].astype(jnp.float32)
+        m1c = _gelu_exact(m1c).astype(o_ref.dtype)
+        m2 = m2 + jax.lax.dot_general(
+            m1c, w2_ref[c0:c0 + MC, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     o_ref[...] = (x1 + m2).astype(o_ref.dtype).reshape(WG, L, C)
 
 
@@ -727,9 +733,14 @@ def fused_window_block(xw, ln1, qkv_p, tht, twt, proj_p, ln2, mlp1_p, mlp2_p,
     TP = -(-L // 16) * 16
     tcat = jnp.zeros((TP + L, hd), tht.dtype)
     tcat = tcat.at[:L].set(tht).at[TP:TP + L].set(twt)
+    # MLP column-chunk width (must divide mlp_dim; else unchunked): bounds
+    # the fp32 hidden temporary at [WG*L, MC] instead of [WG*L, mlp_dim]
+    mc_cap = int(os.environ.get("ANYREF_FUSED_MLP_CHUNK", "1280"))
+    MC = mc_cap if 0 < mc_cap < mlp_dim and mlp_dim % mc_cap == 0 \
+        else mlp_dim
     kernel = functools.partial(
         _fused_window_block_kernel, eps=eps, nh=num_heads, hd=hd, ws=ws,
-        nwc=nwc, nw=nw, H=H, W=W, WG=WG, TP=TP)
+        nwc=nwc, nw=nw, H=H, W=W, WG=WG, TP=TP, MC=MC)
     const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape))  # noqa: E731
     # the layer's weights live VMEM-resident (qkv + proj + both mlp mats),
     # which busts the default 16 MiB scoped-vmem cap; v5e has far more
@@ -740,7 +751,7 @@ def fused_window_block(xw, ln1, qkv_p, tht, twt, proj_p, ln2, mlp1_p, mlp2_p,
     weight_bytes = (C * 3 * C + C * C + C * mlp_dim + mlp_dim * C) * esz
     stream_bytes = 4 * WL * C * esz
     vmem_budget = int(weight_bytes + stream_bytes
-                      + (WL * 3 * C + 2 * WL * mlp_dim + 4 * L * L) * 4
+                      + (WL * 3 * C + 2 * WL * MC + WL * C + 4 * L * L) * 4
                       + (WL * 4 * C) * esz      # qkv + attn staging scratch
                       + (8 << 20))
     out = pl.pallas_call(

@@ -220,15 +220,20 @@ def test_relpos_qkv_kernel_matches_split_path():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("wg", ["1", "3", "4"])  # 4: NW=18 pads to 20
-def test_fused_window_block_matches_resident_oracle(monkeypatch, wg):
+@pytest.mark.parametrize("wg,mlp_chunk", [
+    ("1", None), ("3", "256"), ("4", "128")])  # wg=4: NW=18 pads to 20
+def test_fused_window_block_matches_resident_oracle(monkeypatch, wg,
+                                                    mlp_chunk):
     """The whole-layer fused window kernel (LN1+mask+QKV+relpos attention+
     proj+residual+LN2+MLP) must equal the unfused resident path, including
     in-kernel pad-mask computation on overhanging edge windows. wg=3
     exercises the fori_loop-over-windows path (merged-row GEMMs with
-    per-window attention iteration)."""
+    per-window attention iteration); mlp_chunk forces the column-chunked
+    MLP (fp32 partial-sum accumulation) the 7B shapes use by default."""
     monkeypatch.setenv("ANYREF_QKV_WINDOW_KERNEL", "0")
     monkeypatch.setenv("ANYREF_FUSED_WG", wg)
+    if mlp_chunk is not None:
+        monkeypatch.setenv("ANYREF_FUSED_MLP_CHUNK", mlp_chunk)
     from anyref_tpu.config import SamConfig
     from anyref_tpu.models.sam import image_encoder as enc
 
