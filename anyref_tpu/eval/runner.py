@@ -25,6 +25,15 @@ from ..models import anyref
 from ..ops.resize import postprocess_low_res_np
 
 
+def _single_device(params) -> bool:
+    """True when the param tree lives on one device (no mesh sharding)."""
+    leaf = jax.tree.leaves(params["llama"]["layers"][0])[0]
+    try:
+        return len(leaf.sharding.device_set) <= 1
+    except AttributeError:  # non-committed / numpy leaves
+        return True
+
+
 class Predictor:
     def __init__(self, params, cfg: AnyRefConfig,
                  max_new_tokens: Optional[int] = None,
@@ -41,9 +50,17 @@ class Predictor:
         self.buckets = sorted(prompt_buckets)
         self.batch_buckets = sorted(batch_buckets)
         self.speculative = speculative
-        if speculative:
+        if speculative and _single_device(params):
+            # Serving-layout conversion (transposed + fused decoder weights)
+            # CONSUMES the caller's param tree: it rewrites the nested layer
+            # dicts in place, weight by weight, because a copy would briefly
+            # double the 13 GiB decoder and OOM a 16 GiB chip. Only applied
+            # to single-device params: the fused qkv concat would be built
+            # eagerly outside any sharding constraint, and Megatron TP needs
+            # the per-projection head layout anyway — sharded speculative
+            # serving runs on the plain layout (llama.decode_chunk handles
+            # both).
             from ..models import llama as llama_mod
-            self.params = dict(self.params)
             self.params["llama"] = llama_mod.fuse_for_serving(
                 llama_mod.transpose_for_serving(self.params["llama"]))
         self._jitted = {}

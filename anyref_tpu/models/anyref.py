@@ -468,7 +468,9 @@ def _last_layer_attn_row(params: dict, cfg: AnyRefConfig, q_in: jax.Array,
     lcfg = cfg.llama
     p = params["llama"]["layers"][-1]
     h = rms_norm(p["input_norm"], q_in[:, None, :], eps=lcfg.rms_norm_eps)
-    q = linear(p["attn"]["q"], h)                        # [B, 1, nh*hd]
+    # attn_proj: the q weight may only exist as a row block of the fused
+    # serving-layout qkv matrix (llama.fuse_for_serving)
+    q = linear(llama.attn_proj(p["attn"], "q", lcfg), h)  # [B, 1, nh*hd]
     B = q.shape[0]
     q = q.reshape(B, 1, lcfg.num_heads, lcfg.head_dim).transpose(0, 2, 1, 3)
     q = llama._rope(q, q_pos[:, None], lcfg.rope_theta)[:, :, 0]  # [B,nh,hd]
@@ -508,7 +510,7 @@ def _rephrase_pool(params: dict, cfg: AnyRefConfig, hidden: jax.Array,
     lcfg = cfg.llama
     p = params["llama"]["layers"][-1]
     hn = rms_norm(p["input_norm"], last_in, eps=lcfg.rms_norm_eps)
-    k = linear(p["attn"]["k"], hn).reshape(
+    k = linear(llama.attn_proj(p["attn"], "k", lcfg), hn).reshape(
         B, L, lcfg.num_kv_heads, lcfg.head_dim).transpose(0, 2, 1, 3)
     k = llama._rope(k, jnp.arange(L), lcfg.rope_theta)   # [B, kvh, L, hd]
 

@@ -129,6 +129,21 @@ def fuse_for_serving(params: dict) -> dict:
     return params
 
 
+def attn_proj(attn: dict, name: str, lcfg) -> dict:
+    """Param dict for one attention projection (``q``/``k``/``v``) regardless
+    of serving layout. After ``fuse_for_serving`` the per-projection mats
+    exist only as row blocks of the fused transposed qkv weight; the rephrase
+    path (anyref._last_layer_attn_row / _rephrase_pool) still projects q/k
+    individually, so it resolves them through this accessor."""
+    if name in attn:
+        return attn[name]
+    nq = lcfg.num_heads * lcfg.head_dim
+    nkv = lcfg.num_kv_heads * lcfg.head_dim
+    lo, hi = {"q": (0, nq), "k": (nq, nq + nkv),
+              "v": (nq + nkv, nq + 2 * nkv)}[name]
+    return {"w_t": attn["qkv"]["w_t"][lo:hi]}
+
+
 def _rope_tables(positions: jax.Array, hd: int,
                  theta: float) -> tuple[jax.Array, jax.Array]:
     """cos/sin tables [B, 1, L, hd/2], computed ONCE per forward and shared

@@ -272,7 +272,6 @@ def apply(params: dict, x: jax.Array, cfg: SamConfig) -> jax.Array:
                 nw = win_x.shape[0] // x.shape[0]
                 mask = jnp.tile(pad_mask, (x.shape[0], 1, 1, 1))
             if fused:
-                B0 = x.shape[0]
                 nwc = pad_hw[1] // ws
                 win_x = _fused_window_layer(
                     bp, win_x.reshape(win_x.shape[0], ws * ws, -1),

@@ -92,11 +92,24 @@ class Server:
 
     def shutdown(self):
         """Stop the loops and fail any still-pending requests so no caller
-        blocks forever in Request.result()."""
+        blocks forever in Request.result().
+
+        The final drain only runs after EVERY worker thread has exited: a
+        preprocess worker mid-_build_sample when _stop is set can still
+        enqueue into _run_q after an early drain (it would strand that
+        request), so drain repeatedly until no thread is alive, then once
+        more."""
         with self._submit_lock:
             self._stop.set()
-        for t in self._threads:
-            t.join(timeout=2.0)
+        while True:
+            for t in self._threads:
+                t.join(timeout=1.0)
+            self._drain()
+            if not any(t.is_alive() for t in self._threads):
+                break
+        self._drain()
+
+    def _drain(self) -> None:
         for q in (self._pre_q, self._run_q):
             while True:
                 try:

@@ -248,7 +248,7 @@ def main():
                 "metric": (f"e2e_queries_per_sec_per_chip[{attempt},"
                            f"decode{decode_tokens},batch{batch_size}"
                            f"{',spec' if speculative else ''}"
-                           f"{f',accept{max_accept}' if max_accept else ''}]"),
+                           f"{f',accept{max_accept}' if speculative and max_accept else ''}]"),
                 "value": round(qps, 3),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / 5.0, 3),

@@ -39,9 +39,13 @@ def test_server_batched_tp_matches_single_device():
     want = [solo.segment(img, text) for img, text in zip(imgs, texts)]
     solo.shutdown()
 
-    # TP mesh, batch 2: requests coalesce into micro-batches
-    tp = Server(sharded, cfg, max_batch=2, max_wait_ms=500.0,
-                speculative=False)
+    # TP mesh, batch 2, DEFAULT speculative config: requests coalesce into
+    # micro-batches; the serving-layout conversion must be SKIPPED for
+    # sharded params (the eager fused-qkv concat would escape the Megatron
+    # sharding; llama.decode_chunk runs the plain layout) while lockstep
+    # speculative decode still runs — and is lossless vs the greedy truth
+    tp = Server(sharded, cfg, max_batch=2, max_wait_ms=500.0)
+    assert "q" in sharded["llama"]["layers"][0]["attn"]  # layout untouched
     reqs = [tp.submit(Request(image=img, text=text))
             for img, text in zip(imgs, texts)]
     got = [r.result(timeout=600) for r in reqs]

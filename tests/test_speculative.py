@@ -207,3 +207,35 @@ def test_batched_speculative_matches_per_row_plain():
         assert (mp is None) == (ms is None)
         if mp is not None:
             np.testing.assert_allclose(mp, ms, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_speculative_serving_layout_supports_rephrase():
+    """fuse_for_serving folds q/k/v into one matrix, but the rephrase
+    generate path still projects q from the final layer individually
+    (llama.attn_proj row-block slice). Regression: KeyError 'q' at trace
+    time when rephrase_weight > 0 met a speculative Predictor — the Server
+    DEFAULT config. Outputs must equal the plain-layout greedy stream."""
+    import dataclasses
+
+    from anyref_tpu.eval.runner import Predictor
+
+    cfg = dataclasses.replace(CFG, rephrase_weight=0.1)
+    params = anyref.init(jax.random.key(0), cfg, dtype=jnp.float32)
+    col = Collator(AnyRefTokenizer(), cfg, train=False)
+    rng = np.random.default_rng(7)
+    inst = {
+        "clip_image": rng.standard_normal((3, 224, 224)).astype(np.float32),
+        "sam_image": rng.standard_normal(
+            (3, cfg.sam.image_size, cfg.sam.image_size)).astype(np.float32),
+        "sam_resized_size": (cfg.sam.image_size, cfg.sam.image_size),
+        "question": seg_question("the blue bird"), "answer": None,
+        "gt_masks": None, "height": 32, "width": 32, "file_name": "x",
+    }
+    batch = col([inst])
+    plain = Predictor(params, cfg, max_new_tokens=6, speculative=False)
+    ids_p, _ = plain.predict(batch)      # before in-place layout conversion
+    spec = Predictor(params, cfg, max_new_tokens=6, speculative=True)
+    assert "qkv" in params["llama"]["layers"][0]["attn"]  # conversion ran
+    ids_s, _ = spec.predict(batch)
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_s))
