@@ -86,9 +86,8 @@ class AVSObject(SegDataset):
         with open(os.path.join(root_dir, csv_file)) as f:
             rows = list(csv.reader(f))
         header = rows[0]
-        self.rows = [r for r in rows[1:] if r and r[header.index("split")
-                     if "split" in header else 3] == split] \
-            if "split" in header else [r for r in rows[1:] if r and r[3] == split]
+        sid = header.index("split") if "split" in header else 3
+        self.rows = [r for r in rows[1:] if r and r[sid] == split]
         self.frames_per_video = 1 if split == "train" else 5
 
     def __len__(self):

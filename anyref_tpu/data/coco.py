@@ -184,7 +184,12 @@ class CocoImageRefSeg(SegDataset):
                  apply_mask_prob: float = 0.0, person_keep_frac: float = 0.1,
                  seed: int = 0):
         super().__init__()
-        self.sem = CocoSemanticSeg(image_root, json_file)
+        # filter_area=None: the image-ref pathway runs UNFILTERED on both
+        # sides in the reference (samples.py builds via COCOSemantic()
+        # defaults, train.py's coco_inv passes no filter_area), and the
+        # (img_idx, ann_idx) pairs in the index are positions in the
+        # UNfiltered ann list — a filtered consumer would shift them
+        self.sem = CocoSemanticSeg(image_root, json_file, filter_area=None)
         with open(ref_index_file) as f:
             self.ref_index: Dict[str, List] = json.load(f)
         self._rng = random.Random(seed)
@@ -233,8 +238,11 @@ def build_ref_index(image_root: str, json_file: str, out_file: str,
                     mask_box_threshold: float = 0.4) -> dict:
     """Build the reference-sample index (replaces samples.py: classes ->
     [(img_idx, ann_idx)] where box/img area > thr1 and mask/box > thr2,
-    single-instance classes only; reference coco_instance.py:635-650)."""
-    index = CocoInstances(image_root, json_file)
+    single-instance classes only; reference coco_instance.py:635-650).
+
+    filter_area=None matches the consumers (CocoImageRefSeg, Coco20i):
+    ann_idx positions are only meaningful against the same filtering."""
+    index = CocoInstances(image_root, json_file, filter_area=None)
     out: Dict[str, List] = {}
     for i in range(len(index)):
         rec = index.load(i)

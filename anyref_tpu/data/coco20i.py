@@ -29,7 +29,10 @@ class Coco20i(SegDataset):
                  apply_mask: bool = False, min_mask_frac: float = 0.1,
                  seed: int = 0):
         super().__init__()
-        self.sem = CocoSemanticSeg(image_root, json_file)
+        # filter_area=None: the ref_index ann positions are built unfiltered
+        # (coco.build_ref_index), and the reference's mycoco20i also runs
+        # unfiltered (utils/coco20i.py:308 default None)
+        self.sem = CocoSemanticSeg(image_root, json_file, filter_area=None)
         with open(os.path.join(fss_list_root, mode,
                                f"data_list_{split}.txt")) as f:
             self.data_list = [tuple(line.split()) for line in f
@@ -54,8 +57,11 @@ class Coco20i(SegDataset):
         rec = self.sem.semantic_record(rec_idx)
         if rec is None:
             return None
-        gt_i = next((i for i, c in enumerate(rec["sem_classes"])
-                     if c in self.split_ids), None)
+        # the reference's selection loop overwrites gt_class on every match
+        # (utils/coco20i.py:249-252), so the LAST split-class present in the
+        # image's semantic record is the one evaluated — match that exactly
+        gt_i = next((i for i in range(len(rec["sem_classes"]) - 1, -1, -1)
+                     if rec["sem_classes"][i] in self.split_ids), None)
         if gt_i is None:
             return None
         gt_mask = rec["sem_masks"][gt_i]

@@ -77,17 +77,21 @@ class Collator:
                 ids = tokenize_prompt(self.tok, inst["question"])
                 labs = np.full_like(ids, IGNORE_INDEX)
                 prompt_lens[b] = len(ids)
-            n = min(len(ids), T)
-            input_ids[b, :n] = ids[:n]
-            labels[b, :n] = labs[:n]
-            # truncation guard: losing the <image> token silently breaks the
-            # multimodal splice (the reference instead asserts total length,
-            # utils/coco_instance.py:221-222)
-            if cfg.tokens.image not in input_ids[b, :n]:
+            # truncation guard (the reference asserts total length,
+            # utils/coco_instance.py:221-222): silently cutting the tail
+            # would break the splice when <image> is lost, and at eval
+            # would record prompt_lens[b] = len(ids) > stored tokens —
+            # Predictor.predict then slices ids[b, :prompt_lens[b]] past
+            # the buffer (shape-mismatch crash) or feeds a prompt cut off
+            # before "ASSISTANT:" (garbage generations)
+            if len(ids) > T:
                 raise ValueError(
-                    f"conversation truncated past <image> "
-                    f"({len(ids)} tokens > max_text_len {T}); raise "
-                    f"cfg.max_text_len or shorten the prompt")
+                    f"conversation/prompt is {len(ids)} tokens > "
+                    f"max_text_len {T}; raise cfg.max_text_len or shorten "
+                    f"the prompt")
+            n = len(ids)
+            input_ids[b, :n] = ids
+            labels[b, :n] = labs
 
             masks = inst.get("gt_masks")
             if masks is not None:
@@ -137,13 +141,3 @@ class Collator:
         batch["_orig_masks"] = orig_masks
         batch["_meta"] = meta
         return batch
-
-
-def trim_prompt_batch(batch: Dict[str, np.ndarray], bucket: int) -> Dict:
-    """Cut the static text pad down to the smallest bucket >= longest prompt
-    (prefill cost scales with padded length; buckets keep recompiles bounded)."""
-    out = dict(batch)
-    out["input_ids"] = batch["input_ids"][:, :bucket]
-    if "labels" in batch:
-        out["labels"] = batch["labels"][:, :bucket]
-    return out

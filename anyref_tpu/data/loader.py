@@ -69,11 +69,18 @@ class DataLoader:
 
         batches = list(self._batches())
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        slots = [None] * len(batches)
         next_emit = [0]
         lock = threading.Lock()
         work = iter(enumerate(batches))
         done = threading.Event()
+        # real back-pressure for ORDERED emission: a worker may only start
+        # batch bi when it is within `window` of the emit cursor. Without
+        # this gate the bounded out_q is toothless — one stalled batch lets
+        # the other workers race ahead, and the consumer drains all their
+        # out-of-order results into an UNBOUNDED stash while waiting (at
+        # [B,S,1024,1024] gt_masks that OOMs the host)
+        window = self.prefetch + self.num_workers
+        gate = threading.Condition()
 
         def worker():
             while not done.is_set():
@@ -82,6 +89,11 @@ class DataLoader:
                         bi, b = next(work)
                     except StopIteration:
                         return
+                with gate:
+                    while bi >= next_emit[0] + window and not done.is_set():
+                        gate.wait(0.1)
+                if done.is_set():
+                    return
                 try:
                     batch = self.collate([self.dataset[i] for i in b])
                 except Exception as e:  # surface errors to the consumer
@@ -93,7 +105,7 @@ class DataLoader:
         for t in threads:
             t.start()
         emitted = 0
-        pending = {}
+        pending = {}   # bounded by `window` thanks to the handout gate
         try:
             while emitted < len(batches):
                 if next_emit[0] in pending:
@@ -106,8 +118,12 @@ class DataLoader:
                 if isinstance(batch, Exception):
                     raise batch
                 yield batch
-                next_emit[0] += 1
+                with gate:
+                    next_emit[0] += 1
+                    gate.notify_all()
                 emitted += 1
         finally:
             done.set()
+            with gate:
+                gate.notify_all()
             self.epoch += 1

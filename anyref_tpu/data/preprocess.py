@@ -94,9 +94,14 @@ def crop_box_np(image_rgb_u8: np.ndarray, xyxy: np.ndarray,
     (reference utils/coco_instance.py:670-683: bbox crop, optional
     mask-multiply)."""
     x1, y1, x2, y2 = [int(round(float(v))) for v in xyxy]
-    x1, y1 = max(x1, 0), max(y1, 0)
-    x2 = min(max(x2, x1 + 1), image_rgb_u8.shape[1])
-    y2 = min(max(y2, y1 + 1), image_rgb_u8.shape[0])
+    h, w = image_rgb_u8.shape[:2]
+    # clamp the TOP-LEFT inside the image too: callers inset boxes by
+    # +[1,1,-1,-1], so a 1px-wide annotation at the right/bottom edge lands
+    # x1 == w, which would make a zero-width crop (and a ZeroDivisionError
+    # in the CLIP shortest-edge resize downstream)
+    x1, y1 = min(max(x1, 0), w - 1), min(max(y1, 0), h - 1)
+    x2 = min(max(x2, x1 + 1), w)
+    y2 = min(max(y2, y1 + 1), h)
     crop = image_rgb_u8[y1:y2, x1:x2]
     if mask is not None:
         crop = crop * mask[y1:y2, x1:x2, None].astype(crop.dtype)

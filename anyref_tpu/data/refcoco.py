@@ -54,26 +54,28 @@ class RefCocoTrain(SegDataset):
     def _get(self, index):
         api, info, refs, path = self.entries[index]
         image = load_image_rgb(path)
-        sents, masks = [], []
+        pairs = []
         for ref in refs:
             chosen = (ref["sentences"] if self.all_sentences
                       else [self._rng.choice(ref["sentences"])])
             for s in chosen:
-                sents.append(s["sent"].strip().lower())
-                masks.append(api.get_mask(ref))
-        # one (sentence, mask) pair per item at train (single [SEG] answer)
-        i = self._rng.randrange(len(sents))
-        q = seg_question(sents[i])
-        if masks[i].sum() == 0:
+                pairs.append((ref, s["sent"].strip().lower()))
+        # one (sentence, mask) pair per item at train (single [SEG] answer);
+        # sample FIRST, then decode only the chosen ref's mask (decoding all
+        # refs multiplied per-sample CPU cost by the image's ref count)
+        ref, sent = pairs[self._rng.randrange(len(pairs))]
+        mask = api.get_mask(ref)
+        q = seg_question(sent)
+        if mask.sum() == 0:
             # gRefCOCO no-target refs: negative answer, no mask supervision
             # (reference's unexist branch, utils/refer_seg.py:408-409)
-            a = f"there is no {sents[i]} in this image."
+            a = f"there is no {sent} in this image."
             return self.make_sample(image, q, a, None, file_name=path,
-                                    sentence=sents[i])
-        a = seg_answer(sents[i], itisseg=self.itisseg)
+                                    sentence=sent)
+        a = seg_answer(sent, itisseg=self.itisseg)
         return self.make_sample(image, q, a,
-                                np.stack([masks[i]]).astype(np.uint8),
-                                file_name=path, sentence=sents[i])
+                                np.stack([mask]).astype(np.uint8),
+                                file_name=path, sentence=sent)
 
 
 class RefCocoVal(SegDataset):

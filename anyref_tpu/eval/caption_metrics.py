@@ -76,13 +76,16 @@ def cider_d(hypotheses: List[str], references: List[List[str]],
         ref_counts.append(per_ref)
 
     def tfidf_vec(counts: Counter, k: int):
+        # RAW term counts x idf, exactly pycocoevalcap's counts2vec
+        # (cider_scorer.py): length-normalizing tf would flip which side
+        # the min() clip picks whenever hypothesis and reference lengths
+        # differ, deviating from CIDEr-D
         vec = {}
         norm = 0.0
-        length = max(sum(counts.values()), 1)
         for g, c in counts.items():
             df = math.log(max(dfs[k][g], 1.0))
             idf = math.log(max(num_docs, 1)) - df
-            w = (c / length) * idf
+            w = c * idf
             vec[g] = w
             norm += w * w
         return vec, math.sqrt(norm)

@@ -88,7 +88,8 @@ class Trainer:
         global_batch = tc.per_device_batch_size * self.mesh.shape[DATA_AXIS]
         n_proc = jax.process_count()
         assert global_batch % n_proc == 0, (global_batch, n_proc)
-        self.loader = DataLoader(dataset, Collator(self.tokenizer, cfg),
+        self.loader = DataLoader(dataset,
+                                 Collator(self.tokenizer, cfg, roi=tc.roi),
                                  batch_size=global_batch // n_proc,
                                  shuffle=True,
                                  num_workers=8, seed=tc.seed, drop_last=True,

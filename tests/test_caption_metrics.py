@@ -183,3 +183,15 @@ def test_meteor_degrades_without_nltk(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_nltk)
     with pytest.raises(ImportError):
         meteor(["a cat"], [["a cat"]])
+
+
+def test_cider_raw_count_tf_min_clip():
+    """CIDEr-D uses RAW term counts x idf (pycocoevalcap counts2vec), not
+    length-normalized tf — the min() clip flips sides when hyp/ref lengths
+    differ. Hand-computed: doc1 hyp 'a a b' vs ref 'a b b b' (idf cancels
+    in the cosine): 1-gram sim = (min(2,1)*1+min(1,3)*3)/sqrt(5*10)
+    = 0.5656854, 2-gram sim = 1/sqrt(2*5) = 0.3162278, 3/4-gram 0, length
+    penalty exp(-1/72); doc2 is an identity pair scoring (1+1+0+0)/4*10=5."""
+    score = cider_d(["a a b", "x y"], [["a b b b"], ["x y"]])
+    d1 = (0.5656854 + 0.3162278) * 2.718281828459045 ** (-1 / 72) / 4 * 10
+    assert score == pytest.approx((d1 + 5.0) / 2, abs=1e-4)

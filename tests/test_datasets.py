@@ -186,3 +186,43 @@ def test_loader_with_collator(data_root):
     b = batches[0]
     assert b["input_ids"].shape == (2, cfg.max_text_len)
     assert b["gt_masks"].shape[0] == 2
+
+
+def test_loader_backpressure_bounds_readahead():
+    """Ordered emission must not defeat the prefetch back-pressure: while
+    batch 0 is stalled, workers may only run batches within the
+    prefetch+num_workers window (an unbounded stash of completed
+    out-of-order batches OOMs the host at real gt_mask sizes)."""
+    import threading
+    import time as _time
+
+    from anyref_tpu.data.loader import DataLoader
+
+    release = threading.Event()
+    accessed = []
+
+    class SlowFirst:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            accessed.append(i)
+            if i == 0:
+                release.wait(20)
+            return i
+
+    loader = DataLoader(SlowFirst(), collate_fn=lambda xs: xs, batch_size=1,
+                        num_workers=4, prefetch=2)
+    got = []
+
+    def consume():
+        got.extend(b[0] for b in loader)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    _time.sleep(1.0)           # let workers race as far as they can
+    window = loader.prefetch + loader.num_workers
+    assert max(accessed) < window, (sorted(set(accessed)), window)
+    release.set()
+    t.join(30)
+    assert got == list(range(64))   # ordered, complete

@@ -69,3 +69,32 @@ def test_leftpad_batched_rows_independent():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(hid[1, pad_b:]),
                                np.asarray(hid_b[0]), rtol=2e-5, atol=2e-5)
+
+
+def test_collator_rejects_overlong_prompt():
+    """Over-length prompts must raise (reference asserts total length,
+    utils/coco_instance.py:221-222) instead of silently truncating while
+    recording the untruncated prompt_lens — Predictor.predict would slice
+    past the stored buffer or generate from a prompt cut before
+    'ASSISTANT:'."""
+    import dataclasses
+
+    import pytest
+
+    from anyref_tpu.config import anyref_tiny
+    from anyref_tpu.data.collator import Collator
+    from anyref_tpu.tokenizer import AnyRefTokenizer, seg_question
+
+    cfg = dataclasses.replace(anyref_tiny(), max_text_len=48)
+    col = Collator(AnyRefTokenizer(), cfg, train=False)
+    inst = {
+        "clip_image": np.zeros((3, 224, 224), np.float32),
+        "sam_image": np.zeros(
+            (3, cfg.sam.image_size, cfg.sam.image_size), np.float32),
+        "sam_resized_size": (cfg.sam.image_size, cfg.sam.image_size),
+        "question": seg_question("a " * 200 + "very long expression"),
+        "answer": None, "gt_masks": None,
+        "height": 32, "width": 32, "file_name": "x",
+    }
+    with pytest.raises(ValueError, match="max_text_len"):
+        col([inst])
