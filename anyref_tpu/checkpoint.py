@@ -142,14 +142,22 @@ def _load_torch_state_dict(path: str) -> dict:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if "state_dict" in sd:
         sd = sd["state_dict"]
-    return {k: v.numpy() for k, v in sd.items()}
+    # torch bf16 tensors reject .numpy() ("unsupported ScalarType"); route
+    # them through fp32 (exact: bf16 -> fp32 widening loses nothing)
+    return {k: (v.float() if v.dtype == torch.bfloat16 else v).numpy()
+            for k, v in sd.items()}
 
 
 def _load_hf_dir(path: str) -> dict:
-    """Merge all weight shards in an HF model directory."""
+    """Merge all weight shards in an HF model directory. Only weight shard
+    files: HF-Trainer outputs also ship non-weight pickles like
+    training_args.bin, which torch.load(weights_only=True) rejects."""
     out = {}
     for name in sorted(os.listdir(path)):
-        if name.endswith((".safetensors", ".bin")) and "index" not in name:
+        is_shard = (name.endswith(".safetensors")
+                    or (name.endswith(".bin")
+                        and name.startswith("pytorch_model")))
+        if is_shard and "index" not in name:
             out.update(_load_torch_state_dict(os.path.join(path, name)))
     return out
 

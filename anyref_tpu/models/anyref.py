@@ -42,7 +42,7 @@ from .imagebind import audio as imagebind_audio
 # init
 # ---------------------------------------------------------------------------
 def init(key: jax.Array, cfg: AnyRefConfig, dtype=jnp.bfloat16) -> dict:
-    k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(key, 8)
+    k1, k2, k3, k4, k5, k6, k7, k8, k9, k10 = jax.random.split(key, 10)
     d = cfg.llama.hidden_size
     params = {
         "llama": llama.init(k1, cfg.llama, dtype),
@@ -70,14 +70,13 @@ def init(key: jax.Array, cfg: AnyRefConfig, dtype=jnp.bfloat16) -> dict:
         }
     if cfg.use_loc_tokens:
         params["loc_embeddings"] = (
-            jax.random.normal(k8, (cfg.tokens.num_loc, cfg.out_dim)) * 0.02
+            jax.random.normal(k9, (cfg.tokens.num_loc, cfg.out_dim)) * 0.02
         ).astype(jnp.float32)
     # RoI reference pathway: the reference passes a raw normalized 4-vector
     # through its missing LLaVA fork (anyref.py:331-332); reconstructed here
     # as per-coordinate quantized embeddings filling the 4 <img_ref> slots.
     params["roi_embed"] = (
-        jax.random.normal(jax.random.fold_in(k8, 1),
-                          (IMG_REF_NUM, 101, d)) * 0.02).astype(dtype)
+        jax.random.normal(k10, (IMG_REF_NUM, 101, d)) * 0.02).astype(dtype)
     return params
 
 
@@ -204,7 +203,6 @@ def _seg_slots(exp_ids: jax.Array, seg_id: int, max_seg: int):
     # stable top-k by position: rank occurrences left-to-right
     occ = jnp.cumsum(is_seg.astype(jnp.int32), axis=1) - 1   # occurrence index
     slot = jnp.where(is_seg, occ, max_seg)                   # [B, L]
-    pos = jnp.full((B, max_seg), 0, jnp.int32)
     # scatter: pos[b, slot] = position
     bidx = jnp.arange(B)[:, None].repeat(L, axis=1)
     lidx = jnp.arange(L)[None, :].repeat(B, axis=0)
@@ -360,6 +358,24 @@ class TrainOutput(NamedTuple):
     seg_valid: jax.Array         # [B, S]
 
 
+def _encode_reference_feats(params: dict, cfg: AnyRefConfig, batch: dict):
+    """Shared modality dispatch for the reference signal (image crop XOR RoI
+    box, plus optional audio) — one copy for both train_forward and
+    generate. Returns (ref_feats, ref_valid, audio_feats, audio_valid)."""
+    ref_feats = audio_feats = None
+    ref_valid = audio_valid = None
+    if "ref_images" in batch:
+        ref_feats = encode_ref_images(params, cfg, batch["ref_images"])
+        ref_valid = batch.get("ref_valid")
+    elif "roi_boxes" in batch:
+        ref_feats = encode_roi(params, batch["roi_boxes"])
+        ref_valid = batch.get("ref_valid")
+    if "audio_mels" in batch and cfg.audio is not None:
+        audio_feats = encode_audio(params, cfg, batch["audio_mels"])
+        audio_valid = batch.get("audio_valid")
+    return ref_feats, ref_valid, audio_feats, audio_valid
+
+
 def train_forward(params: dict, cfg: AnyRefConfig, batch: dict) -> TrainOutput:
     """One training step forward (reference model_forward_new,
     anyref.py:239-466).
@@ -373,17 +389,8 @@ def train_forward(params: dict, cfg: AnyRefConfig, batch: dict) -> TrainOutput:
     """
     tk = cfg.tokens
     clip_feats = encode_clip_images(params, cfg, batch["clip_images"])
-    ref_feats = audio_feats = None
-    ref_valid = audio_valid = None
-    if "ref_images" in batch:
-        ref_feats = encode_ref_images(params, cfg, batch["ref_images"])
-        ref_valid = batch.get("ref_valid")
-    elif "roi_boxes" in batch:
-        ref_feats = encode_roi(params, batch["roi_boxes"])
-        ref_valid = batch.get("ref_valid")
-    if "audio_mels" in batch and cfg.audio is not None:
-        audio_feats = encode_audio(params, cfg, batch["audio_mels"])
-        audio_valid = batch.get("audio_valid")
+    ref_feats, ref_valid, audio_feats, audio_valid = \
+        _encode_reference_feats(params, cfg, batch)
 
     embeds, exp_ids, exp_labels = assemble_embeds(
         params, cfg, batch["input_ids"], clip_feats,
@@ -579,17 +586,8 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
     tk = cfg.tokens
 
     clip_feats = encode_clip_images(params, cfg, batch["clip_images"])
-    ref_feats = audio_feats = None
-    ref_valid = audio_valid = None
-    if "ref_images" in batch:
-        ref_feats = encode_ref_images(params, cfg, batch["ref_images"])
-        ref_valid = batch.get("ref_valid")
-    elif "roi_boxes" in batch:
-        ref_feats = encode_roi(params, batch["roi_boxes"])
-        ref_valid = batch.get("ref_valid")
-    if "audio_mels" in batch and cfg.audio is not None:
-        audio_feats = encode_audio(params, cfg, batch["audio_mels"])
-        audio_valid = batch.get("audio_valid")
+    ref_feats, ref_valid, audio_feats, audio_valid = \
+        _encode_reference_feats(params, cfg, batch)
 
     embeds, exp_ids, _ = assemble_embeds(
         params, cfg, batch["input_ids"], clip_feats,

@@ -51,12 +51,20 @@ def _batched_point_decode(params, cfg: SamConfig, embedding, coords):
     return low, iou
 
 
-def _stability_score(low_res: jax.Array, mask_threshold: float,
-                     offset: float) -> jax.Array:
+def _stability_score(low_res: jax.Array, valid_hw: jax.Array,
+                     mask_threshold: float, offset: float) -> jax.Array:
     """IoU between masks thresholded at +-offset (reference
-    utils/amg.py calculate_stability_score)."""
-    hi = jnp.sum(low_res > mask_threshold + offset, axis=(-2, -1))
-    lo = jnp.sum(low_res > mask_threshold - offset, axis=(-2, -1))
+    utils/amg.py calculate_stability_score).
+
+    ``valid_hw``: the resized image's extent on the low-res grid — the
+    reference scores masks AFTER the canvas padding is cropped away
+    (predict_torch postprocesses before scoring), so logits in the
+    bottom/right pad region must not count for non-square images."""
+    iy = jnp.arange(low_res.shape[-2])[:, None]
+    ix = jnp.arange(low_res.shape[-1])[None, :]
+    valid = (iy < valid_hw[0]) & (ix < valid_hw[1])
+    hi = jnp.sum((low_res > mask_threshold + offset) & valid, axis=(-2, -1))
+    lo = jnp.sum((low_res > mask_threshold - offset) & valid, axis=(-2, -1))
     return hi / jnp.maximum(lo, 1)
 
 
@@ -105,7 +113,8 @@ class SamAutomaticMaskGenerator:
                                                  cfg=cfg),
                                static_argnames=("cfg",))
         self._stab = jax.jit(functools.partial(
-            _stability_score, mask_threshold=0.0, offset=stability_score_offset))
+            _stability_score, mask_threshold=0.0,
+            offset=stability_score_offset))
 
     def generate(self, image_rgb_u8: np.ndarray) -> List[dict]:
         from .predictor import _preprocess_unpadded
@@ -125,7 +134,11 @@ class SamAutomaticMaskGenerator:
                 chunk = np.pad(chunk, ((0, pad_n), (0, 0)))
             low, iou = self._decode(self.params, embedding=embedding,
                                     coords=jnp.asarray(chunk, jnp.float32))
-            stab = self._stab(low)
+            # valid low-res extent: 256-grid cells covering the resized image
+            lg = low.shape[-1]
+            vhw = jnp.asarray([-(-nh * lg // self.cfg.image_size),
+                               -(-nw * lg // self.cfg.image_size)], jnp.int32)
+            stab = self._stab(low, vhw)
             low = np.asarray(low, np.float32)[: len(coords) - i if pad_n else self.ppb]
             iou = np.asarray(iou, np.float32)[: low.shape[0]]
             stab = np.asarray(stab, np.float32)[: low.shape[0]]
@@ -147,7 +160,11 @@ class SamAutomaticMaskGenerator:
                         "area": int(full.sum()),
                         "predicted_iou": float(iou[j, m]),
                         "stability_score": float(stab[j, m]),
-                        "point_coords": [chunk[j].tolist()],
+                        # ORIGINAL-image coordinates, like the reference AMG
+                        # (points are generated in the original frame there;
+                        # ours live in the resized frame until here)
+                        "point_coords": [[float(chunk[j][0] * w / nw),
+                                          float(chunk[j][1] * h / nh)]],
                     })
         if not records:
             return []

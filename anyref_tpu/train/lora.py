@@ -63,7 +63,7 @@ def apply(llama_params: dict, lora_params: dict, cfg: LoraConfig) -> dict:
 
 def merge(llama_params: dict, lora_params: dict, cfg: LoraConfig) -> dict:
     """Materialize merged weights for deployment (reference merge_lora.py)."""
-    return jax.tree.map(lambda x: x, apply(llama_params, lora_params, cfg))
+    return apply(llama_params, lora_params, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -91,31 +91,19 @@ def split_trainable(params: dict) -> tuple[dict, dict]:
     paths = list(TRAINABLE_DENSE) + [p for p in TRAINABLE_OPTIONAL
                                      if _get(params, p) is not None]
 
-    def build(tree, keep: bool):
-        out = {}
-        for k, v in tree.items():
-            sub_paths = [p[1:] for p in paths if p and p[0] == k]
-            if any(len(p) == 0 for p in sub_paths):
-                out[k] = v if keep else None
-            elif sub_paths and isinstance(v, dict):
-                out[k] = _build_nested(v, sub_paths, keep)
-            else:
-                out[k] = None if keep else v
-        return out
-
-    def _build_nested(tree, paths_, keep):
+    def build(tree, paths_, keep):
         out = {}
         for k, v in tree.items():
             sub = [p[1:] for p in paths_ if p and p[0] == k]
             if any(len(p) == 0 for p in sub):
                 out[k] = v if keep else None
             elif sub and isinstance(v, dict):
-                out[k] = _build_nested(v, sub, keep)
+                out[k] = build(v, sub, keep)
             else:
                 out[k] = None if keep else v
         return out
 
-    return build(params, True), build(params, False)
+    return build(params, paths, True), build(params, paths, False)
 
 
 def merge_params(trainable: dict, frozen: dict) -> dict:

@@ -72,9 +72,14 @@ class Trainer:
             total_steps=tc.max_steps)
         self.state, self.frozen = step_mod.init_state(
             jax.random.key(tc.seed), params, self.lora_cfg, self.optimizer)
+        # donate the TrainState (arg 0): without donation the old
+        # trainables + Adam moments stay live while the new ones are
+        # computed, doubling their peak HBM every step (frozen params,
+        # arg 1, are reused and must NOT be donated)
         self.step_fn = jax.jit(step_mod.make_train_step(
             cfg, self.lora_cfg, self.optimizer,
-            remat=tc.remat, grad_accum=tc.grad_accum_steps))
+            remat=tc.remat, grad_accum=tc.grad_accum_steps),
+            donate_argnums=(0,))
 
         if dataset is None:
             from ..data.registry import build_train_datasets
