@@ -29,8 +29,13 @@ def _load():
     if not os.path.exists(_SO) or (os.path.exists(_SRC) and
                                    os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
         try:
+            # build to a private temp path then atomically rename: concurrent
+            # first-use (loader worker threads, train+eval processes sharing
+            # the repo) must never dlopen a partially written .so
+            tmp = f"{_SO}.{os.getpid()}.tmp"
             subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                            _SRC, "-o", _SO], check=True, capture_output=True)
+                            _SRC, "-o", tmp], check=True, capture_output=True)
+            os.replace(tmp, _SO)
         except Exception:
             _lib = False
             return _lib
@@ -55,6 +60,10 @@ def _load():
         lib.rle_from_poly.argtypes = [ctypes.POINTER(ctypes.c_double),
                                       ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                       u32p]
+        lib.rle_from_string.restype = ctypes.c_int
+        lib.rle_from_string.argtypes = [u8p, ctypes.c_long, u32p]
+        lib.rle_to_string.restype = ctypes.c_long
+        lib.rle_to_string.argtypes = [u32p, ctypes.c_int, u8p]
         _lib = lib
     except Exception:
         _lib = False
@@ -63,6 +72,15 @@ def _load():
 
 def _u32(arr):
     return np.ascontiguousarray(arr, np.uint32)
+
+
+def _counts(rle: dict) -> np.ndarray:
+    """An RLE dict's counts as np.uint32, decompressing the COCO string
+    encoding when present (single normalization point for all entry ops)."""
+    counts = rle["counts"]
+    if isinstance(counts, (bytes, str)):
+        counts = string_to_counts(counts)
+    return _u32(counts)
 
 
 # ---------------------------------------------------------------------------
@@ -92,10 +110,7 @@ def encode(mask: np.ndarray) -> dict:
 def decode(rle: dict) -> np.ndarray:
     """rle dict -> [H, W] uint8 mask."""
     h, w = rle["size"]
-    counts = rle["counts"]
-    if isinstance(counts, (bytes, str)):
-        counts = string_to_counts(counts)
-    counts = _u32(counts)
+    counts = _counts(rle)
     lib = _load()
     if lib:
         out = np.empty(h * w, np.uint8)
@@ -112,17 +127,13 @@ def decode(rle: dict) -> np.ndarray:
 
 
 def area(rle: dict) -> int:
-    counts = rle["counts"]
-    if isinstance(counts, (bytes, str)):
-        counts = string_to_counts(counts)
-    return int(np.asarray(counts, np.uint64)[1::2].sum())
+    return int(np.asarray(_counts(rle), np.uint64)[1::2].sum())
 
 
 def to_bbox(rle: dict) -> np.ndarray:
     """rle -> [x, y, w, h]."""
     h, w = rle["size"]
-    counts = _u32(rle["counts"] if not isinstance(rle["counts"], (bytes, str))
-                  else string_to_counts(rle["counts"]))
+    counts = _counts(rle)
     lib = _load()
     if lib:
         bb = np.zeros(4, np.float64)
@@ -143,12 +154,10 @@ def merge(rles: Sequence[dict]) -> dict:
     assert rles
     h, w = rles[0]["size"]
     lib = _load()
-    cur = _u32(rles[0]["counts"] if not isinstance(rles[0]["counts"], (bytes, str))
-               else string_to_counts(rles[0]["counts"]))
+    cur = _counts(rles[0])
     if lib:
         for r in rles[1:]:
-            b = _u32(r["counts"] if not isinstance(r["counts"], (bytes, str))
-                     else string_to_counts(r["counts"]))
+            b = _counts(r)
             out = np.empty(h * w + 1, np.uint32)
             m = lib.rle_merge_or(
                 cur.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(cur),
@@ -207,9 +216,20 @@ def _poly_fill_np(pts: np.ndarray, h: int, w: int) -> np.ndarray:
 # COCO compressed-string layer
 # ---------------------------------------------------------------------------
 def string_to_counts(s) -> np.ndarray:
-    """COCO LEB128-style char encoding -> counts (delta-decoded)."""
+    """COCO LEB128-style char encoding -> counts (delta-decoded). Native
+    fast path (crowd/gRefCOCO annotations store compressed RLE, and the
+    per-character Python loop would dominate the loader CPU budget)."""
     if isinstance(s, str):
         s = s.encode()
+    lib = _load()
+    if lib:
+        buf = np.frombuffer(s, np.uint8)
+        out = np.empty(len(s) + 1, np.uint32)   # >= one count per char
+        m = lib.rle_from_string(
+            np.ascontiguousarray(buf).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)), len(s),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return out[:m].copy()
     counts = []
     i = 0
     while i < len(s):
@@ -233,6 +253,14 @@ def string_to_counts(s) -> np.ndarray:
 def counts_to_string(counts) -> bytes:
     """counts -> COCO char encoding (delta-encoded for i > 2)."""
     counts = np.asarray(counts, np.int64)
+    lib = _load()
+    if lib:
+        c32 = _u32(counts)
+        buf = np.empty(16 * max(len(c32), 1), np.uint8)  # >= 8 chars/count
+        n = lib.rle_to_string(
+            c32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(c32),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return bytes(buf[:n])
     out = bytearray()
     for i, c in enumerate(counts):
         x = int(c - counts[i - 2]) if i > 2 else int(c)

@@ -18,12 +18,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _pixel_weights(pixel_mask, shape):
-    if pixel_mask is None:
-        return None
-    return pixel_mask.astype(jnp.float32)
-
-
 def dice_loss(pred_logits: jax.Array, targets: jax.Array, valid: jax.Array,
               pixel_mask: jax.Array | None = None) -> jax.Array:
     """DICE loss (reference anyref.py:19-47): per mask

@@ -94,15 +94,14 @@ def kaldi_fbank(waveform: jax.Array, sample_rate: int = 16000,
 
 def clip_timepoints(duration_s: float, clip_duration: float = 2.0,
                     clips_per_audio: int = 3) -> list[tuple[float, float]]:
-    """ConstantClipsPerVideoSampler semantics (reference data.py:67-76,
-    pytorchvideo): uniform clip starts over [0, max(duration - clip_dur, 0)]."""
+    """ConstantClipsPerVideoSampler semantics (reference data.py:67-76):
+    pytorchvideo spaces clip starts by max(duration - clip_dur, 0) divided
+    by clips_per_video (NOT clips-1): uniform_clip = max_possible_start / N,
+    start_i = i * uniform_clip — a 5 s audio yields starts 0/1/2 s."""
     delta = max(duration_s - clip_duration, 0.0)
-    out = []
-    for i in range(clips_per_audio):
-        start = i * (delta / max(clips_per_audio - 1, 1)) \
-            if clips_per_audio > 1 else 0.0
-        out.append((start, start + clip_duration))
-    return out
+    uniform = delta / max(clips_per_audio, 1)
+    return [(i * uniform, i * uniform + clip_duration)
+            for i in range(clips_per_audio)]
 
 
 def audio_to_mel_clips(waveform: np.ndarray, sample_rate: int = 16000,
@@ -116,17 +115,21 @@ def audio_to_mel_clips(waveform: np.ndarray, sample_rate: int = 16000,
     wav = np.asarray(waveform, np.float32)
     wav = wav - wav.mean()  # reference data.py:30 (per-file mean removal)
     duration = len(wav) / sample_rate
-    clip_len = int(clip_duration * sample_rate)
     clips = []
     for start, end in clip_timepoints(duration, clip_duration, clips_per_audio):
         s = int(start * sample_rate)
         e = int(end * sample_rate)
         clip = wav[s:e]
-        if len(clip) < clip_len:  # short audio: zero-pad the clip
-            clip = np.pad(clip, (0, clip_len - len(clip)))
-        fb = np.asarray(kaldi_fbank(jnp.asarray(clip), sample_rate,
-                                    num_mel_bins))          # [F, mel]
-        fb = fb.T                                            # [mel, F]
+        # short audio: the reference (ImageBind waveform2melspec) computes
+        # fbank on the SHORT clip and zero-pads the log-mel FRAMES — padding
+        # the waveform instead would fill the tail with log(EPS) ~ -15.9
+        # frames and sharply diverge the audio embedding
+        if len(clip) >= int(0.025 * sample_rate):   # >= one 25 ms window
+            fb = np.asarray(kaldi_fbank(jnp.asarray(clip), sample_rate,
+                                        num_mel_bins))      # [F, mel]
+            fb = fb.T                                        # [mel, F]
+        else:
+            fb = np.zeros((num_mel_bins, 0), np.float32)
         p = target_len - fb.shape[1]
         if p > 0:
             fb = np.pad(fb, ((0, 0), (0, p)))

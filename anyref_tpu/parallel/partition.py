@@ -79,6 +79,17 @@ def batch_spec(batch: dict) -> dict:
     return {k: P(DATA_AXIS) for k in batch}
 
 
+def shard_batch(batch: dict, mesh) -> dict:
+    """Place a collated DEVICE batch on the mesh, leading dim over "data"
+    (host-only keys like _meta must be stripped by the caller first)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    spec = batch_spec(batch)
+    return {k: jax.device_put(v, NamedSharding(mesh, spec[k]))
+            for k, v in batch.items()}
+
+
 def shard_params(params: dict, mesh, cfg) -> dict:
     """Place an anyref param tree on a mesh: decoder tensor-parallel over
     "model", everything else replicated. Serving entry point for multi-chip

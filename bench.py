@@ -91,17 +91,29 @@ def make_batch(cfg, prompt_bucket=129, batch_size=1):
 
 
 def _measure_hbm_gbps(jax, jnp):
-    """~1 s HBM-bandwidth probe (same recipe as tools/bench_window_layer):
-    a chain of elementwise passes over a 64 MiB bf16 buffer, timed after a
-    warmup, counting one read + one write per pass."""
-    n = 32 * 1024 * 1024
+    """Device-health probe: a fori_loop of 100 reverse+multiply passes over
+    a 128 MiB bf16 buffer in ONE dispatch (~0.2 s measured).
+
+    Design notes (each one defeats an observed failure of a simpler probe):
+    - ONE dispatch with a long kernel, so the number reflects the CHIP, not
+      the tunnel: per-dispatch axon latency was measured at ~40 ms during
+      'slow' windows while the chip itself was fine (bench ran 7.2 q/s) —
+      a host-side timed chain of short kernels reports dispatch, not HBM.
+    - the reverse forces full materialization between iterations; a plain
+      elementwise body gets pipelined tile-wise through VMEM by XLA (the
+      loop-carried 'HBM traffic' never happens and the probe reads >8 TB/s).
+    The reported number is the probe's EFFECTIVE bandwidth (~135 GB/s on a
+    healthy chip — reversal is permute-limited, not peak-HBM); the gate
+    threshold is calibrated to this probe, not to the 819 GB/s HBM spec."""
+    n = 64 * 1024 * 1024
+    reps = 100
     x = jnp.full((n,), 1.0, jnp.bfloat16)
-    rep = 20
-    f = jax.jit(lambda v: [v := v * 1.000001 for _ in range(rep)][-1])
-    float(f(x)[0].astype(jnp.float32))  # compile + warmup
+    f = jax.jit(lambda v: jax.lax.fori_loop(
+        0, reps, lambda i, a: a[::-1] * 1.000001, v))
+    float(f(x)[0].astype(jnp.float32))            # compile + warmup
     t0 = time.time()
-    float(f(x)[0].astype(jnp.float32))
-    return 2 * n * 2 / ((time.time() - t0) / rep) / 1e9
+    float(f(x)[0].astype(jnp.float32))            # host readback = fence
+    return 2 * n * 2 * reps / (time.time() - t0) / 1e9
 
 
 def _launcher():
@@ -110,13 +122,15 @@ def _launcher():
     observed transient failure modes of the shared axon chip — a
     process-wedging "ABORTED: TPU backend error" (exception; fresh processes
     pass), a device-level hang where even trivial programs never complete
-    (clears after a wait), and a CONTENDED-chip window where everything runs
-    but ~10x slow (observed 65 GB/s HBM vs ~660 healthy; the inner process
-    measures bandwidth first and exits rc=3 below BENCH_MIN_HBM_GBPS so the
-    result isn't silently recorded at one-tenth speed — the FINAL attempt
-    runs regardless, so a persistently slow chip still records a number).
-    Attempt count lands in the JSON as "retries" and the measured bandwidth
-    as "hbm_gbps" so a retried/slow run is loud, not masked."""
+    (clears after a wait), and a genuinely DEGRADED device (the inner
+    process runs a single-dispatch on-chip bandwidth probe first and exits
+    rc=3 below BENCH_MIN_HBM_GBPS so the result isn't silently recorded at
+    a fraction of real speed — the FINAL attempt runs regardless, so a
+    persistently slow chip still records a number). Tunnel-latency windows
+    (slow dispatch/compile, chip fine — measured 7.2 q/s during one) do
+    not trip the probe. Attempt count lands in the JSON as "retries" and
+    the probe value as "hbm_gbps" so a retried/degraded run is loud, not
+    masked."""
     import subprocess
 
     deadline = int(os.environ.get("BENCH_DEADLINE_S", "780"))
@@ -185,7 +199,10 @@ def main():
     # there says nothing about the code; exit rc=3 so the launcher backs off
     # and retries — except on the last attempt, which records what it can.
     hbm_gbps = _measure_hbm_gbps(jax, jnp)
-    min_hbm = float(os.environ.get("BENCH_MIN_HBM_GBPS", "350"))
+    # threshold in PROBE units (healthy ~135, see _measure_hbm_gbps): 40
+    # fires only on a >3x device-level degradation; tunnel-latency windows
+    # (which leave the pipelined bench intact) do not move this probe
+    min_hbm = float(os.environ.get("BENCH_MIN_HBM_GBPS", "40"))
     if (hbm_gbps < min_hbm
             and os.environ.get("BENCH_LAST_ATTEMPT", "1") != "1"):
         sys.stderr.write(f"chip unhealthy: HBM ~{hbm_gbps:.0f} GB/s "

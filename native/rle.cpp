@@ -192,4 +192,44 @@ int rle_from_poly(const double* xy, int k, int h, int w, uint32_t* counts_out) {
     return (int)c.size();
 }
 
+// COCO compressed-string layer (pycocotools rleFrString/rleToString):
+// base-48 5-bit chunks, sign-extended, delta-coded for i > 2.
+int rle_from_string(const uint8_t* s, long n, uint32_t* counts_out) {
+    int m = 0;
+    long i = 0;
+    while (i < n) {
+        long long x = 0;
+        int k = 0;
+        bool more = true;
+        while (more) {
+            int c = (int)s[i] - 48;
+            x |= (long long)(c & 0x1F) << (5 * k);
+            more = (c & 0x20) != 0;
+            i++;
+            k++;
+            if (!more && (c & 0x10)) x |= -1LL << (5 * k);
+        }
+        if (m > 2) x += (long long)counts_out[m - 2];
+        counts_out[m++] = (uint32_t)x;
+    }
+    return m;
+}
+
+long rle_to_string(const uint32_t* counts, int m, uint8_t* out) {
+    long n = 0;
+    for (int i = 0; i < m; i++) {
+        long long x = (long long)counts[i];
+        if (i > 2) x -= (long long)counts[i - 2];
+        bool more = true;
+        while (more) {
+            int chunk = (int)(x & 0x1F);
+            x >>= 5;
+            more = (chunk & 0x10) ? (x != -1) : (x != 0);
+            if (more) chunk |= 0x20;
+            out[n++] = (uint8_t)(chunk + 48);
+        }
+    }
+    return n;
+}
+
 }  // extern "C"

@@ -190,3 +190,35 @@ def test_mel_frontend_shapes():
     # deterministic
     fb2 = np.asarray(kaldi_fbank(jnp.asarray(wav[:32000])))
     np.testing.assert_array_equal(fb, fb2)
+
+
+def test_clip_timepoints_pytorchvideo_spacing():
+    """ConstantClipsPerVideoSampler divides max_possible_start by
+    clips_per_video (uniform_clip = delta / N, start_i = i * uniform):
+    a 5 s audio yields starts 0/1/2 s — NOT the delta/(N-1) endpoints
+    spacing (0/1.5/3) a linspace would give."""
+    from anyref_tpu.ops.mel import clip_timepoints
+
+    pts = clip_timepoints(5.0, clip_duration=2.0, clips_per_audio=3)
+    assert pts == [(0.0, 2.0), (1.0, 3.0), (2.0, 4.0)]
+    # audio shorter than one clip: all three clips start at 0
+    pts = clip_timepoints(1.0, clip_duration=2.0, clips_per_audio=3)
+    assert [s for s, _ in pts] == [0.0, 0.0, 0.0]
+
+
+def test_short_audio_pads_mel_frames_not_waveform():
+    """ImageBind waveform2melspec computes fbank on the SHORT clip and
+    zero-pads the log-mel FRAMES to target_length; padding the waveform
+    would fill the tail with log(EPS) ~ -15.9 frames. After normalization
+    the padded frames must equal exactly (0 - mean)/std."""
+    from anyref_tpu.ops.mel import audio_to_mel_clips
+
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal(16000).astype(np.float32)     # 1 s
+    mean, std = -4.268, 9.138
+    clips = audio_to_mel_clips(wav, mean=mean, std=std)
+    # 1 s -> 1 + (16000-400)//160 = 98 real frames; 98..203 are frame pad
+    pad = clips[0, 0, :, 98:]
+    np.testing.assert_allclose(pad, (0.0 - mean) / std, rtol=0, atol=1e-6)
+    real = clips[0, 0, :, :98]
+    assert not np.allclose(real, (0.0 - mean) / std)

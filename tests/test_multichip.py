@@ -62,8 +62,8 @@ def test_tp_generate_matches_single():
 
     mesh = make_mesh(data=2, model=4)
     sparams = shard_params(params, mesh, cfg)
-    sbatch = {k: jax.device_put(v, NamedSharding(mesh, P(DATA_AXIS)))
-              for k, v in jbatch.items()}
+    from anyref_tpu.parallel.partition import shard_batch
+    sbatch = shard_batch(jbatch, mesh)
     sharded = gen(sparams, cfg, sbatch)
 
     np.testing.assert_array_equal(np.asarray(single.output_ids),

@@ -86,3 +86,24 @@ def test_annotation_to_mask_multi_part():
              [12.0, 12.0, 18.0, 12.0, 18.0, 18.0, 12.0, 18.0]]
     m = rle.annotation_to_mask(polys, 24, 24)
     assert m[4, 4] == 1 and m[14, 14] == 1 and m[10, 10] == 0
+
+
+def test_string_codec_native_matches_python():
+    """The native LEB128 layer must agree byte-for-byte with the Python
+    fallback (both directions), including negative deltas and multi-chunk
+    counts."""
+    rng = np.random.default_rng(11)
+    counts = rng.integers(0, 1 << 20, 101).astype(np.uint32)
+    counts[0] = 0
+    native_s = rle.counts_to_string(counts)
+    native_c = rle.string_to_counts(native_s)
+    lib = rle._lib
+    try:
+        rle._lib = False
+        py_s = rle.counts_to_string(counts)
+        py_c = rle.string_to_counts(native_s)
+    finally:
+        rle._lib = lib
+    assert native_s == py_s
+    np.testing.assert_array_equal(native_c, counts)
+    np.testing.assert_array_equal(py_c, counts)

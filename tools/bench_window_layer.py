@@ -10,10 +10,13 @@ Also prints a chip-health calibration (HBM GB/s + GEMM TFLOP/s): the shared
 v5e fluctuates (observed 93-660 GB/s across days); absolute layer times are
 only comparable at similar health.
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -21,13 +24,12 @@ import jax.numpy as jnp
 
 def calibrate():
     rng = np.random.default_rng(0)
-    N = 32 * 1024 * 1024
-    x = jnp.asarray(rng.standard_normal(N), jnp.bfloat16)
+    # barrier-separated passes + two-length difference: see
+    # bench._measure_hbm_gbps (a fused multiply chain measures dispatch
+    # latency, not bandwidth)
+    import bench as _bench
+    bw = _bench._measure_hbm_gbps(jax, jnp)
     REP = 20
-    f = jax.jit(lambda x: [x := x * 1.000001 for _ in range(REP)][-1])
-    o = f(x); float(o[0].astype(jnp.float32))
-    t0 = time.time(); o = f(x); float(o[0].astype(jnp.float32))
-    bw = 2 * N * 2 / ((time.time() - t0) / REP) / 1e9
     M = 2048
     a = jnp.asarray(rng.standard_normal((M, M)) * 0.02, jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((M, M)) * 0.02, jnp.bfloat16)

@@ -49,9 +49,11 @@ def main():
         for vid in sorted(os.listdir(os.path.join(mask_root, cat))):
             for frame in sorted(os.listdir(os.path.join(mask_root, cat, vid))):
                 gt_path = os.path.join(mask_root, cat, vid, frame)
-                img_path = os.path.join(img_root, cat, vid,
-                                        frame.replace(".png", ".png"))
+                # frames and masks share names ({video}_{i}.png, reference
+                # utils/avsbench.py:130-133)
+                img_path = os.path.join(img_root, cat, vid, frame)
                 if not os.path.exists(img_path):
+                    print(f"WARNING: no frame for mask {gt_path}, skipped")
                     continue
                 with Image.open(gt_path) as im:
                     gt = (np.asarray(im.convert("1")) > 0)
