@@ -111,3 +111,25 @@ def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bnqk,bnkd->bnqd", probs, v,
                       preferred_element_type=v.dtype)
+
+
+def mha_qkv(qkv: jax.Array, num_heads: int,
+            scale: float | None = None) -> jax.Array:
+    """Self-attention from the fused [B, L, 3C] QKV tensor via the Pallas
+    QKV-direct kernel (heads as VMEM column slices — no head-split
+    relayouts). `ANYREF_QKV_MHA_KERNEL=0` falls back to the split-head XLA
+    oracle (ops.common.mha)."""
+    import os
+
+    B, L, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    if os.environ.get("ANYREF_QKV_MHA_KERNEL", "1") != "1":
+        q, k, v = (qkv[..., i * C:(i + 1) * C]
+                   .reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
+                   for i in range(3))
+        from .common import mha
+        o = mha(q, k, v, scale=scale)
+        return o.transpose(0, 2, 1, 3).reshape(B, L, C)
+    return _flash.flash_attention_qkv(qkv, num_heads, scale=scale,
+                                      interpret=_interpret())

@@ -854,3 +854,47 @@ def flash_relpos_attention_qkv(qkv, rel_h_table, rel_w_table, size_hw,
         out_shape=jax.ShapeDtypeStruct((B, L, C), qkv.dtype),
         interpret=interpret,
     )(qkv, rh.reshape(B, num_heads, L, H), rw.reshape(B, num_heads, L, W))
+
+
+def _mha_qkv_kernel(qkv_ref, o_ref, *, nh: int, hd: int, scale: float):
+    """Plain (bias-free, unmasked) multi-head attention straight off the
+    fused QKV tensor [L, 3C]: per-head q/k/v are STATIC COLUMN SLICES in
+    VMEM, so the [B,L,C] -> [B,nh,L,hd] head-split relayouts (and the
+    output merge) that dominate XLA attention at small L never touch HBM.
+    One grid step per image, heads unrolled. Serves the CLIP-ViT encoder
+    (L=257), where those relayouts made attention ~9x its FLOP roofline."""
+    C = nh * hd
+    for h in range(nh):
+        q = qkv_ref[0][:, h * hd:(h + 1) * hd]
+        k = qkv_ref[0][:, C + h * hd:C + (h + 1) * hd]
+        v = qkv_ref[0][:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd:(h + 1) * hd] = (o / denom).astype(o_ref.dtype)
+
+
+def flash_attention_qkv(qkv, num_heads: int, scale: float | None = None,
+                        interpret: bool = False):
+    """Self-attention from the raw fused-QKV tensor.
+
+    qkv: [B, L, 3C] (heads NOT split). Returns [B, L, C] with heads already
+    merged — directly consumable by the output projection."""
+    B, L, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    kernel = functools.partial(_mha_qkv_kernel, nh=num_heads, hd=hd,
+                               scale=hd ** -0.5 if scale is None else scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, L, C3), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, L, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv)

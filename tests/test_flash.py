@@ -288,3 +288,20 @@ def test_fused_window_block_matches_resident_oracle(monkeypatch, wg,
     b = enc._window_unpartition(want, ws, pad_hw, (H, W))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_mha_qkv_kernel_matches_split_oracle(monkeypatch):
+    """The plain QKV-direct MHA kernel (CLIP path) must equal the
+    split-head XLA oracle at CLIP's L=257 (odd, non-tile-aligned)."""
+    from anyref_tpu.ops import attention as att
+
+    B, L, nh, hd = 2, 257, 4, 64
+    C = nh * hd
+    rng = np.random.default_rng(21)
+    qkv = jnp.asarray(rng.standard_normal((B, L, 3 * C)) * 0.3, jnp.float32)
+    monkeypatch.setenv("ANYREF_QKV_MHA_KERNEL", "1")
+    got = att.mha_qkv(qkv, nh)
+    monkeypatch.setenv("ANYREF_QKV_MHA_KERNEL", "0")
+    want = att.mha_qkv(qkv, nh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
