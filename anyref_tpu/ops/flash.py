@@ -55,6 +55,21 @@ def supported_relpos(H: int, W: int, head_dim: int) -> bool:
     return 64 <= L <= 1024
 
 
+def _relpos_expanders(kh: int, kw: int):
+    """Indicator matrices turning per-axis bias factors into the [*, L]
+    key-position bias: bias = repeat(rh, kw) + tile(rw, kh), expanded via
+    matmuls (always lowers on MXU; avoids reshape/relayout of the minor
+    dim). Shared by all three rel-pos kernels."""
+    L = kh * kw
+    col = jax.lax.broadcasted_iota(jnp.int32, (kh, L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (kh, L), 0)
+    expand_h = (col // kw == row).astype(jnp.float32)       # [kh, L]
+    colw = jax.lax.broadcasted_iota(jnp.int32, (kw, L), 1)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (kw, L), 0)
+    expand_w = (colw % kw == roww).astype(jnp.float32)      # [kw, L]
+    return expand_h, expand_w
+
+
 def _relpos_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
                    scale: float, kh: int, kw: int):
     q = q_ref[0]                                    # [BQ, hd]
@@ -65,15 +80,7 @@ def _relpos_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [BQ, L]
-    L = kh * kw
-    # bias = repeat(rh, kw) + tile(rw, kh): expand factors via indicator
-    # matmuls (always lowers on MXU; avoids reshape/relayout of the minor dim)
-    col = jax.lax.broadcasted_iota(jnp.int32, (kh, L), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (kh, L), 0)
-    expand_h = (col // kw == row).astype(jnp.float32)       # [kh, L]
-    colw = jax.lax.broadcasted_iota(jnp.int32, (kw, L), 1)
-    roww = jax.lax.broadcasted_iota(jnp.int32, (kw, L), 0)
-    expand_w = (colw % kw == roww).astype(jnp.float32)      # [kw, L]
+    expand_h, expand_w = _relpos_expanders(kh, kw)
     s = s + jax.lax.dot_general(rh, expand_h, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
     s = s + jax.lax.dot_general(rw, expand_w, (((1,), (0,)), ((), ())),
@@ -91,13 +98,7 @@ def _relpos_multihead_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
     """All heads of one window per grid step (statically unrolled): at
     window scale (L=196) the per-(window, head) grid of the blocked kernel
     is overhead-bound — 400 sequential steps/layer for SAM-H vs 25 here."""
-    L = kh * kw
-    col = jax.lax.broadcasted_iota(jnp.int32, (kh, L), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (kh, L), 0)
-    expand_h = (col // kw == row).astype(jnp.float32)
-    colw = jax.lax.broadcasted_iota(jnp.int32, (kw, L), 1)
-    roww = jax.lax.broadcasted_iota(jnp.int32, (kw, L), 0)
-    expand_w = (colw % kw == roww).astype(jnp.float32)
+    expand_h, expand_w = _relpos_expanders(kh, kw)
     for h in range(nh):
         q = q_ref[0, h]
         k = k_ref[0, h]
@@ -793,12 +794,7 @@ def _relpos_qkv_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
     HBM. One grid step per window, heads unrolled."""
     L = kh * kw
     C = nh * hd
-    col = jax.lax.broadcasted_iota(jnp.int32, (kh, L), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (kh, L), 0)
-    expand_h = (col // kw == row).astype(jnp.float32)
-    colw = jax.lax.broadcasted_iota(jnp.int32, (kw, L), 1)
-    roww = jax.lax.broadcasted_iota(jnp.int32, (kw, L), 0)
-    expand_w = (colw % kw == roww).astype(jnp.float32)
+    expand_h, expand_w = _relpos_expanders(kh, kw)
     for h in range(nh):
         q = qkv_ref[0][:, h * hd:(h + 1) * hd]
         k = qkv_ref[0][:, C + h * hd:C + (h + 1) * hd]
