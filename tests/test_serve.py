@@ -54,3 +54,30 @@ def test_callback_invoked_on_error():
     assert "error" in res
     assert fired and "error" in fired[0]
     server.shutdown()
+
+
+def test_shutdown_straggler_preprocess_worker_cannot_strand_request():
+    """A preprocess worker mid-_build_sample when shutdown() fires can
+    enqueue into _run_q AFTER an early drain; shutdown must keep draining
+    until every worker thread has exited so that request still gets a
+    result (the old single drain left result() blocking forever)."""
+    import time
+
+    cfg = anyref_tiny()
+    params = anyref.init(jax.random.key(0), cfg, dtype=jnp.float32)
+    server = Server(params, cfg, max_batch=1, max_wait_ms=10.0,
+                    preprocess_workers=1)
+    orig = server._build_sample
+
+    def slow_build(req):
+        time.sleep(3.0)          # longer than one join(timeout=1.0) round
+        return orig(req)
+
+    server._build_sample = slow_build
+    req = server.submit(Request(image=np.zeros((8, 8, 3), np.uint8),
+                                text="x"))
+    time.sleep(0.3)              # let the worker enter slow_build
+    server.shutdown()
+    res = req.result(timeout=10)
+    assert req._done.is_set(), "request stranded by shutdown"
+    assert "error" in res or "text" in res
