@@ -2,10 +2,14 @@
 serving is actually real (one chip can't hold batch>=2 at 7B — HBM study in
 BASELINE.md; a TP mesh divides the weight stream and the batch amortizes it).
 
-Runs the full Server (queue -> micro-batcher -> bucketed Predictor) with the
-tiny preset over the virtual 8-device mesh, params sharded with the Megatron
-specs (parallel/partition.py), and asserts batched-TP outputs match
-single-device per-request outputs exactly (greedy decode is deterministic).
+Runs the full Server (queue -> micro-batcher -> bucketed Predictor) in its
+DEFAULT (speculative) config with the tiny preset over the virtual 8-device
+mesh, params sharded with the Megatron specs (parallel/partition.py), and
+asserts batched-TP outputs match a single-device server processing the SAME
+request pairs. Both sides run batch-2 speculative programs — the comparison
+is same-shape on both sides, so it isolates exactly the TP sharding (a
+batch-1-greedy-vs-batch-2-speculative comparison differs in fp32 reduction
+ORDER between program shapes, and random-weight tiny logits sit on ties).
 """
 
 import numpy as np
@@ -21,6 +25,17 @@ from anyref_tpu.parallel.mesh import make_mesh
 from anyref_tpu.serve import Request, Server
 
 
+def _run_pairs(server, imgs, texts):
+    """Submit requests in pinned pairs (wait between pairs) so both servers
+    coalesce identical micro-batches."""
+    out = []
+    for i in range(0, len(imgs), 2):
+        reqs = [server.submit(Request(image=img, text=text))
+                for img, text in zip(imgs[i:i + 2], texts[i:i + 2])]
+        out.extend(r.result(timeout=600) for r in reqs)
+    return out
+
+
 @pytest.mark.slow
 def test_server_batched_tp_matches_single_device():
     cfg = anyref_tiny()
@@ -33,25 +48,25 @@ def test_server_batched_tp_matches_single_device():
     texts = ["the cat", "a very long referring expression about a red dog",
              "bird", "the left person"]
 
-    # single-device per-request ground truth
-    solo = Server(params, cfg, max_batch=1, max_wait_ms=1.0,
-                  speculative=False)
-    want = [solo.segment(img, text) for img, text in zip(imgs, texts)]
+    # single-device ground truth, same batch-2 DEFAULT-speculative config.
+    # _single_device() applies the serving-layout conversion here (params is
+    # consumed); the sharded tree was built from it beforehand.
+    solo = Server(params, cfg, max_batch=2, max_wait_ms=500.0)
+    want = _run_pairs(solo, imgs, texts)
     solo.shutdown()
 
     # TP mesh, batch 2, DEFAULT speculative config: requests coalesce into
-    # micro-batches; the serving-layout conversion must be SKIPPED for
-    # sharded params (the eager fused-qkv concat would escape the Megatron
-    # sharding; llama.decode_chunk runs the plain layout) while lockstep
-    # speculative decode still runs — and is lossless vs the greedy truth
+    # the same micro-batches; the serving-layout conversion must be SKIPPED
+    # for sharded params (the eager fused-qkv concat would escape the
+    # Megatron sharding; llama.decode_chunk runs the plain layout) while
+    # lockstep speculative decode still runs
     tp = Server(sharded, cfg, max_batch=2, max_wait_ms=500.0)
     assert "q" in sharded["llama"]["layers"][0]["attn"]  # layout untouched
-    reqs = [tp.submit(Request(image=img, text=text))
-            for img, text in zip(imgs, texts)]
-    got = [r.result(timeout=600) for r in reqs]
+    got = _run_pairs(tp, imgs, texts)
     tp.shutdown()
 
     for i, (w, g) in enumerate(zip(want, got)):
         assert "error" not in g, (i, g)
+        assert "error" not in w, (i, w)
         assert g["text"] == w["text"], i
         np.testing.assert_array_equal(g["mask"], w["mask"], err_msg=str(i))
