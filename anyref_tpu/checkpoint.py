@@ -149,16 +149,27 @@ def _load_torch_state_dict(path: str) -> dict:
 
 
 def _load_hf_dir(path: str) -> dict:
-    """Merge all weight shards in an HF model directory. Only weight shard
-    files: HF-Trainer outputs also ship non-weight pickles like
-    training_args.bin, which torch.load(weights_only=True) rejects."""
+    """Merge all weight files in an HF model directory.
+
+    HF-Trainer outputs ship non-weight pickles alongside the shards
+    (training_args.bin — torch.load(weights_only=True) rejects it), but a
+    name whitelist would silently drop standalone weight files like LLaVA's
+    mm_projector.bin. So: skip the known non-weight names, and warn-skip
+    any .bin that still fails to load as a weights-only state dict instead
+    of aborting the whole assembly."""
+    skip = {"training_args.bin", "optimizer.bin", "scheduler.bin"}
     out = {}
     for name in sorted(os.listdir(path)):
-        is_shard = (name.endswith(".safetensors")
-                    or (name.endswith(".bin")
-                        and name.startswith("pytorch_model")))
-        if is_shard and "index" not in name:
+        if name in skip or "index" in name:
+            continue
+        if not name.endswith((".safetensors", ".bin")):
+            continue
+        try:
             out.update(_load_torch_state_dict(os.path.join(path, name)))
+        except Exception as e:
+            import sys
+            sys.stderr.write(f"WARNING: skipping non-weight file "
+                             f"{name}: {str(e)[:200]}\n")
     return out
 
 

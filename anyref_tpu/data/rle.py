@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import List, Sequence
 
 import numpy as np
@@ -20,19 +21,32 @@ _SRC = os.path.join(_HERE, "native", "rle.cpp")
 _SO = os.path.join(_HERE, "native", "librle.so")
 
 _lib = None
+_load_lock = threading.Lock()
 
 
 def _load():
+    global _lib
+    with _load_lock:   # loader worker threads race first-use in-process
+        return _load_locked()
+
+
+def _load_locked():
     global _lib
     if _lib is not None:
         return _lib
     if not os.path.exists(_SO) or (os.path.exists(_SRC) and
                                    os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
         try:
-            # build to a private temp path then atomically rename: concurrent
-            # first-use (loader worker threads, train+eval processes sharing
-            # the repo) must never dlopen a partially written .so
-            tmp = f"{_SO}.{os.getpid()}.tmp"
+            # build to a UNIQUE temp path then atomically rename: concurrent
+            # first-use (other processes sharing the repo — in-process
+            # threads are serialized by _load_lock) must never dlopen a
+            # partially written .so, and two builders must never interleave
+            # writes into one temp file (a PID-keyed name still collides
+            # across threads; mkstemp never collides)
+            import tempfile
+            fd, tmp = tempfile.mkstemp(suffix=".so.tmp",
+                                       dir=os.path.dirname(_SO))
+            os.close(fd)
             subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
                             _SRC, "-o", tmp], check=True, capture_output=True)
             os.replace(tmp, _SO)
@@ -229,6 +243,9 @@ def string_to_counts(s) -> np.ndarray:
             np.ascontiguousarray(buf).ctypes.data_as(
                 ctypes.POINTER(ctypes.c_uint8)), len(s),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        if m < 0:   # mirrors the Python fallback's IndexError on truncation
+            raise ValueError("truncated COCO RLE string (continuation bit "
+                             "set on the final character)")
         return out[:m].copy()
     counts = []
     i = 0

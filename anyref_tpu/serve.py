@@ -90,7 +90,7 @@ class Server:
     def segment(self, image, text=None, **kw) -> dict:
         return self.submit(Request(image=image, text=text, **kw)).result()
 
-    def shutdown(self):
+    def shutdown(self, timeout: float = 30.0):
         """Stop the loops and fail any still-pending requests so no caller
         blocks forever in Request.result().
 
@@ -98,10 +98,14 @@ class Server:
         preprocess worker mid-_build_sample when _stop is set can still
         enqueue into _run_q after an early drain (it would strand that
         request), so drain repeatedly until no thread is alive, then once
-        more."""
+        more. ``timeout`` bounds the wait — a device loop wedged inside a
+        hung TPU program (a documented axon failure mode) must not hang
+        shutdown itself; past the deadline the daemon threads are abandoned
+        (killed at process exit) after a last drain."""
         with self._submit_lock:
             self._stop.set()
-        while True:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
             for t in self._threads:
                 t.join(timeout=1.0)
             self._drain()

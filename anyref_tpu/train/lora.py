@@ -62,8 +62,15 @@ def apply(llama_params: dict, lora_params: dict, cfg: LoraConfig) -> dict:
 
 
 def merge(llama_params: dict, lora_params: dict, cfg: LoraConfig) -> dict:
-    """Materialize merged weights for deployment (reference merge_lora.py)."""
-    return apply(llama_params, lora_params, cfg)
+    """Materialize merged weights for deployment (reference merge_lora.py).
+
+    The tree.map(identity) is CONTAINER isolation, not a data copy: apply()
+    shares the non-adapted sub-dicts (mlp, untargeted attn projections) with
+    its input, and deployment hands the merged tree to the serving-layout
+    conversion (llama.transpose_for_serving / fuse_for_serving) which
+    mutates param dicts IN PLACE — without fresh containers that would
+    corrupt the trainer's frozen tree through the aliases."""
+    return jax.tree.map(lambda x: x, apply(llama_params, lora_params, cfg))
 
 
 # ---------------------------------------------------------------------------

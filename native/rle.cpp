@@ -194,6 +194,8 @@ int rle_from_poly(const double* xy, int k, int h, int w, uint32_t* counts_out) {
 
 // COCO compressed-string layer (pycocotools rleFrString/rleToString):
 // base-48 5-bit chunks, sign-extended, delta-coded for i > 2.
+// returns the count of decoded runs, or -1 if the string is truncated
+// (a final character with the continuation bit set — never read past n)
 int rle_from_string(const uint8_t* s, long n, uint32_t* counts_out) {
     int m = 0;
     long i = 0;
@@ -202,6 +204,7 @@ int rle_from_string(const uint8_t* s, long n, uint32_t* counts_out) {
         int k = 0;
         bool more = true;
         while (more) {
+            if (i >= n) return -1;
             int c = (int)s[i] - 48;
             x |= (long long)(c & 0x1F) << (5 * k);
             more = (c & 0x20) != 0;

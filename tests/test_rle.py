@@ -107,3 +107,14 @@ def test_string_codec_native_matches_python():
     assert native_s == py_s
     np.testing.assert_array_equal(native_c, counts)
     np.testing.assert_array_equal(py_c, counts)
+
+
+def test_string_codec_truncated_raises():
+    """A compressed string ending mid-chunk (continuation bit set on the
+    final character) must raise, not read past the buffer (native) or
+    IndexError-crash inconsistently (fallback)."""
+    good = rle.counts_to_string(np.asarray([0, 5, 3, 7], np.uint32))
+    # force a trailing continuation bit: append a char with bit 0x20 set
+    bad = good + bytes([0x20 + 48])
+    with pytest.raises((ValueError, IndexError)):
+        rle.string_to_counts(bad)

@@ -111,3 +111,22 @@ def test_sam_predictor_smoke():
         point_coords=np.asarray([[40.0, 40.0]]),
         point_labels=np.asarray([1]), multimask_output=False)
     assert masks1.shape == (1, 96, 128)
+
+
+def test_merge_isolates_containers_from_serving_conversion():
+    """Deploying merged params runs the IN-PLACE serving-layout conversion
+    (transpose_for_serving/fuse_for_serving pop 'w'/'gate'/'up' from the
+    layer param dicts). merge() must hand out fresh containers: apply()
+    shares the non-adapted sub-dicts with its input, and without isolation
+    the conversion corrupts the trainer's source tree (KeyError 'w' on the
+    next step)."""
+    from anyref_tpu.models import llama as llama_mod
+
+    params = anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
+    lcfg = lora_mod.LoraConfig()
+    lp = lora_mod.init(jax.random.key(1), params["llama"], lcfg)
+    merged = lora_mod.merge(params["llama"], lp, lcfg)
+    llama_mod.fuse_for_serving(llama_mod.transpose_for_serving(merged))
+    layer = params["llama"]["layers"][0]
+    assert "w" in layer["attn"]["k"], "conversion leaked into source tree"
+    assert "gate" in layer["mlp"] and "w" in layer["mlp"]["gate"]
