@@ -150,7 +150,46 @@ def _window_unpartition(wins: jax.Array, ws: int, pad_hw, hw):
     return x[:, :H, :W]
 
 
+def _fused_global_layer_enabled(cfg: SamConfig, H: int, W: int) -> bool:
+    # Fused GLOBAL-block tail (attention+proj+residual+LN2+MLP in one
+    # Pallas call per image, ops/flash.py fused_global_tail). Same rationale
+    # as the fused window kernel: the per-layer XLA fusions/relayouts around
+    # the 4 global layers and the blocked kernel's bias-EXPANSION dots
+    # (~45% of its attention FLOPs) disappear. CPU stays on the unfused
+    # path (interpret-mode Pallas at L=4096 would bloat the suite); the
+    # equivalence test forces it on via ANYREF_FUSED_GLOBAL_BLOCK=1.
+    from ...ops import flash as _flash
+
+    hd = cfg.encoder_embed_dim // cfg.encoder_num_heads
+    if not _flash.supported_global_fused(H, W, hd):
+        return False
+    env = os.environ.get("ANYREF_FUSED_GLOBAL_BLOCK")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _fused_global_layer(p, x: jax.Array, cfg: SamConfig) -> jax.Array:
+    """Whole global block with LN1+QKV in XLA (that GEMM runs at MXU peak)
+    and the rest in one Pallas call per image (fused_global_tail)."""
+    from ...ops import flash as _flash
+
+    B, H, W, C = x.shape
+    tht = _get_rel_pos_table(H, p["attn"]["rel_pos_h"])   # [H, H, hd]
+    twt = _get_rel_pos_table(W, p["attn"]["rel_pos_w"])
+    h = layer_norm(p["norm1"], x, eps=cfg.layer_norm_eps, fused=True)
+    qkv = linear(p["attn"]["qkv"], h.reshape(B, H * W, C))
+    out = _flash.fused_global_tail(
+        x.reshape(B, H * W, C), qkv, tht, twt, p["attn"]["proj"],
+        p["norm2"], p["mlp"]["lin1"], p["mlp"]["lin2"], (H, W),
+        cfg.encoder_num_heads, eps=cfg.layer_norm_eps,
+        interpret=jax.default_backend() != "tpu")
+    return out.reshape(B, H, W, C)
+
+
 def _block(p, x: jax.Array, cfg: SamConfig, window: bool) -> jax.Array:
+    if not window and _fused_global_layer_enabled(cfg, x.shape[1], x.shape[2]):
+        return _fused_global_layer(p, x, cfg)
     shortcut = x
     x = layer_norm(p["norm1"], x, eps=cfg.layer_norm_eps, fused=True)
     if window:

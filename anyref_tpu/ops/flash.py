@@ -786,6 +786,156 @@ def fused_window_block(xw, ln1, qkv_p, tht, twt, proj_p, ln2, mlp1_p, mlp2_p,
     return out[:NW] if NWp != NW else out
 
 
+def _fused_global_tail_kernel(x_ref, q_ref, kv_ref, rht_ref, rwt_ref,
+                              wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
+                              w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                              eps: float, scale: float, nh: int, hd: int,
+                              kh: int, kw: int, MC: int):
+    """Post-QKV tail of a GLOBAL ViTDet block, one query block per grid
+    step: rel-pos attention (all heads, full 4096-key rows) + output
+    projection + residual + LN2 + MLP + residual. The layer's proj/MLP
+    weights and the image's K/V stay VMEM-resident across the whole query
+    grid (constant index maps — one HBM fetch per layer per image).
+
+    Rel-pos bias never exists as dots here (the blocked `_relpos_kernel`
+    spends ~45%% of its FLOPs expanding rh/rw across the key axis with two
+    [BQ, S] @ [S, L] matmuls): scores are built TRANSPOSED (s_T[k, q]) so
+    bias_T[k, q] = rhT[k//kw, q] + rwT[k%%kw, q] is two pure sublane
+    broadcasts of the XLA-precomputed factor blocks.
+    """
+    L = kh * kw
+    C = nh * hd
+    BQ = q_ref.shape[0]
+    outs = []
+    for h in range(nh):
+        q = q_ref[:, h * hd:(h + 1) * hd]                     # [BQ, hd]
+        k = kv_ref[:, h * hd:(h + 1) * hd]                    # [L, hd]
+        v = kv_ref[:, C + h * hd:C + (h + 1) * hd]
+        rh = rht_ref[h].astype(jnp.float32)                   # [kh, BQ]
+        rw = rwt_ref[h].astype(jnp.float32)                   # [kw, BQ]
+        s_t = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale       # [L, BQ]
+        bias = (jnp.broadcast_to(rh[:, None, :], (kh, kw, BQ))
+                + jnp.broadcast_to(rw[None, :, :], (kh, kw, BQ))
+                ).reshape(L, BQ)
+        s_t = s_t + bias
+        m = jnp.max(s_t, axis=0, keepdims=True)               # over keys
+        p = jnp.exp(s_t - m)
+        p = p / jnp.sum(p, axis=0, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))              # [BQ, hd]
+    attn = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)  # [BQ, C]
+    proj = jax.lax.dot_general(
+        attn, wproj_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + bproj_ref[0].astype(jnp.float32)
+    x1 = x_ref[...].astype(jnp.float32) + proj                # [BQ, C]
+
+    mean = jnp.mean(x1, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x1 - mean), axis=-1, keepdims=True)
+    h2 = ((x1 - mean) * jax.lax.rsqrt(var + eps)
+          * ln2s_ref[0].astype(jnp.float32)
+          + ln2b_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+    # MLP in MC-wide column chunks (bounds the fp32 hidden temporary at
+    # [BQ, MC]; same scheme as the fused window kernel)
+    mlp_dim = w1_ref.shape[1]
+    m2 = jnp.broadcast_to(b2_ref[0].astype(jnp.float32), (BQ, C))
+    for c0 in range(0, mlp_dim, MC):
+        m1c = jax.lax.dot_general(
+            h2, w1_ref[:, c0:c0 + MC], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) \
+            + b1_ref[0, c0:c0 + MC].astype(jnp.float32)
+        m1c = _gelu_exact(m1c).astype(o_ref.dtype)
+        m2 = m2 + jax.lax.dot_general(
+            m1c, w2_ref[c0:c0 + MC, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[...] = (x1 + m2).astype(o_ref.dtype)
+
+
+def supported_global_fused(H: int, W: int, head_dim: int) -> bool:
+    L = H * W
+    bq = _pick_bq(L, 256)
+    return (L >= 1024 and bq >= 128 and H % 8 == 0 and W % 8 == 0
+            and head_dim % 8 == 0)
+
+
+def fused_global_tail(x, qkv, tht, twt, proj_p, ln2, mlp1_p, mlp2_p,
+                      size_hw, num_heads: int, eps: float,
+                      interpret: bool = False):
+    """Whole GLOBAL transformer block tail (everything after the QKV
+    projection) in ONE Pallas call per image.
+
+    x: [B, L, C] block input (residual); qkv: [B, L, 3C] (LN1 + fused-QKV
+    projection done in XLA — that GEMM already runs at MXU peak);
+    tht/twt: [S, S, hd] gathered rel-pos tables. Returns [B, L, C], the
+    full block output (reference image_encoder.py:196-233 semantics).
+    """
+    H, W = size_hw
+    B, L, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    scale = hd ** -0.5
+    BQ = _pick_bq(L, 256)
+    # q-dependent bias factors, TRANSPOSED to [B, nh, S, L(q)] so the kernel
+    # reads [nh, S, BQ] blocks; einsum reads the head split without a
+    # materialized transpose. Grouping q as (qh, qw) rows makes the gather
+    # trivial: rhT[kh, q] = q[q] . Th[q//W, kh].
+    qg = qkv[..., :C].reshape(B, H, W, num_heads, hd)
+    rht = jnp.einsum("bhwnc,hkc->bnkhw", qg, tht.astype(qkv.dtype),
+                     preferred_element_type=jnp.float32).reshape(
+                         B, num_heads, H, L)
+    rwt = jnp.einsum("bhwnc,wkc->bnkhw", qg, twt.astype(qkv.dtype),
+                     preferred_element_type=jnp.float32).reshape(
+                         B, num_heads, W, L)
+    kv = qkv[..., C:]                                          # [B, L, 2C]
+    mlp_dim = mlp1_p["w"].shape[1]
+    mc_cap = int(os.environ.get("ANYREF_FUSED_MLP_CHUNK", "1280"))
+    MC = mc_cap if 0 < mc_cap < mlp_dim and mlp_dim % mc_cap == 0 \
+        else mlp_dim
+    kernel = functools.partial(
+        _fused_global_tail_kernel, eps=eps, scale=scale, nh=num_heads,
+        hd=hd, kh=H, kw=W, MC=MC)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))  # noqa: E731
+    esz = jnp.dtype(x.dtype).itemsize
+    # resident: K/V for the image + proj/MLP weights; streamed: x/q/rhT/rwT
+    # blocks (double-buffered); temporaries: per-head fp32 scores + bias
+    # [L, BQ] and the chunked MLP hidden
+    vmem_budget = int(
+        (L * 2 * C + C * C + C * mlp_dim + mlp_dim * C) * esz
+        + 2 * (BQ * 4 * C + num_heads * (H + W) * BQ) * 4
+        + (3 * L * BQ + 2 * BQ * MC + BQ * C + num_heads * BQ * hd) * 4
+        + (8 << 20))
+    outs = []
+    for b in range(B):                 # per-image calls: K/V and weights
+        outs.append(pl.pallas_call(    # are fetched once, never revolved
+            kernel,
+            grid=(L // BQ,),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(vmem_budget, 120 << 20)),
+            in_specs=[
+                pl.BlockSpec((BQ, C), lambda i: (i, 0)),
+                pl.BlockSpec((BQ, C3), lambda i: (i, 0)),
+                const((L, 2 * C)),
+                pl.BlockSpec((num_heads, H, BQ), lambda i: (0, 0, i)),
+                pl.BlockSpec((num_heads, W, BQ), lambda i: (0, 0, i)),
+                const((C, C)), const((1, C)),
+                const((1, C)), const((1, C)),
+                const((C, mlp_dim)), const((1, mlp_dim)),
+                const((mlp_dim, C)), const((1, C)),
+            ],
+            out_specs=pl.BlockSpec((BQ, C), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((L, C), x.dtype),
+            interpret=interpret,
+        )(x[b], qkv[b], kv[b], rht[b], rwt[b],
+          proj_p["w"], proj_p["b"].reshape(1, C),
+          ln2["scale"].reshape(1, C), ln2["bias"].reshape(1, C),
+          mlp1_p["w"], mlp1_p["b"].reshape(1, mlp_dim),
+          mlp2_p["w"], mlp2_p["b"].reshape(1, C)))
+    return jnp.stack(outs)
+
+
 def _relpos_qkv_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
                        kh: int, kw: int, nh: int, hd: int):
     """Window attention straight off the fused QKV tensor [L, 3C]: per-head

@@ -290,6 +290,54 @@ def test_fused_window_block_matches_resident_oracle(monkeypatch, wg,
                                rtol=3e-4, atol=3e-4)
 
 
+def test_fused_global_tail_matches_unfused_block(monkeypatch):
+    """The fused GLOBAL-block tail (rel-pos attention via transposed-score
+    sublane-broadcast bias + proj + residual + LN2 + MLP, one Pallas call
+    per image) must equal the unfused global block path."""
+    from anyref_tpu.config import SamConfig
+    from anyref_tpu.models.sam import image_encoder as enc
+
+    H = W = 32                       # L = 1024: the smallest global shape
+    nh, hd = 2, 32
+    C = nh * hd
+    cfg = SamConfig(encoder_embed_dim=C, encoder_depth=1,
+                    encoder_num_heads=nh, encoder_global_attn_indexes=(0,),
+                    image_size=H * 16, window_size=14, prompt_embed_dim=32)
+    assert flash.supported_global_fused(H, W, hd)
+    rng = np.random.default_rng(17)
+    mlp = int(C * cfg.mlp_ratio)
+
+    def lin(i, o):
+        return {"w": jnp.asarray(rng.standard_normal((i, o)) * i ** -0.5,
+                                 jnp.float32),
+                "b": jnp.asarray(rng.standard_normal((o,)) * 0.02,
+                                 jnp.float32)}
+
+    def ln(d):
+        return {"scale": jnp.asarray(1 + 0.1 * rng.standard_normal((d,)),
+                                     jnp.float32),
+                "bias": jnp.asarray(0.05 * rng.standard_normal((d,)),
+                                    jnp.float32)}
+
+    p = {"norm1": ln(C), "norm2": ln(C),
+         "attn": {"qkv": lin(C, 3 * C), "proj": lin(C, C),
+                  "rel_pos_h": jnp.asarray(
+                      rng.standard_normal((2 * H - 1, hd)) * 0.1,
+                      jnp.float32),
+                  "rel_pos_w": jnp.asarray(
+                      rng.standard_normal((2 * W - 1, hd)) * 0.1,
+                      jnp.float32)},
+         "mlp": {"lin1": lin(C, mlp), "lin2": lin(mlp, C)}}
+    x = jnp.asarray(rng.standard_normal((2, H, W, C)) * 0.5, jnp.float32)
+
+    monkeypatch.setenv("ANYREF_FUSED_GLOBAL_BLOCK", "0")
+    want = enc._block(p, x, cfg, window=False)
+    monkeypatch.setenv("ANYREF_FUSED_GLOBAL_BLOCK", "1")
+    got = enc._block(p, x, cfg, window=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+
 def test_mha_qkv_kernel_matches_split_oracle(monkeypatch):
     """The plain QKV-direct MHA kernel (CLIP path) must equal the
     split-head XLA oracle at CLIP's L=257 (odd, non-tile-aligned)."""
