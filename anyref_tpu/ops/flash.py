@@ -877,7 +877,12 @@ def fused_global_tail(x, qkv, tht, twt, proj_p, ln2, mlp1_p, mlp2_p,
     C = C3 // 3
     hd = C // num_heads
     scale = hd ** -0.5
-    BQ = _pick_bq(L, 256)
+    # query-block sweep at SAM-H scale (standalone encode, same chip):
+    # BQ=128 68.7 ms / 256 66.3 / 512 65.9. 512's ~0.4 ms is inside e2e
+    # noise and doubles the per-head fp32 score+bias temporaries (8 MiB
+    # each at L=4096) inside the already-tight batch-2 serving program —
+    # 256 stays the default.
+    BQ = _pick_bq(L, int(os.environ.get("ANYREF_FUSED_GLOBAL_BQ", "256")))
     # q-dependent bias factors, TRANSPOSED to [B, nh, S, L(q)] so the kernel
     # reads [nh, S, BQ] blocks; einsum reads the head split without a
     # materialized transpose. Grouping q as (qh, qw) rows makes the gather
