@@ -219,6 +219,36 @@ def _causal_kernel(pad_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[0] = (o / jnp.maximum(denom, 1e-20)).astype(o_ref.dtype)
 
 
+def _causal_mh_kernel(pad_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                      bq: int, nh: int):
+    """All heads of one (batch row, query block) per grid step: at prefill
+    scale (L=384, 32 heads) the per-(batch, head) grid runs 192 sequential
+    steps of tiny dots — step overhead dominates. Here the grid is
+    (B, L/BQ) with heads unrolled, K/V for the whole row VMEM-resident."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    pad = pad_ref[b]
+    L = k_ref.shape[2]
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 0) + i * bq
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (bq, L), 1)
+    # finite mask value, NOT -inf (see _causal_kernel)
+    keep = (kpos <= qpos) & (kpos >= pad)
+    for h in range(nh):
+        q = q_ref[0, h]                              # [BQ, hd]
+        k = k_ref[0, h]                              # [L, hd]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(keep, s, jnp.finfo(jnp.float32).min)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / jnp.maximum(denom, 1e-20)).astype(o_ref.dtype)
+
+
 def flash_causal_attention(q, k, v, kv_start=None, interpret: bool = False):
     """q/k/v: [B, nh, L, hd] prefill attention. ``kv_start`` [B] masks
     left-padded keys per row (batched generation; right padding needs no
@@ -226,6 +256,38 @@ def flash_causal_attention(q, k, v, kv_start=None, interpret: bool = False):
     B, nh, L, hd = q.shape
     scale = hd ** -0.5
     BQ = _pick_bq(L, 256)
+
+    # multi-head path for prefill-scale shapes: K/V for all heads of one
+    # batch row stay VMEM-resident (nh * L * hd * 2 tensors); the grid
+    # shrinks B*nh-fold. Cap the resident bytes well under scoped VMEM.
+    if (nh * L * hd * 2 * jnp.dtype(q.dtype).itemsize <= 24 << 20
+            and os.environ.get("ANYREF_CAUSAL_MH_KERNEL", "1") == "1"):
+        if kv_start is None:
+            pad = jnp.zeros((B,), jnp.int32)
+        else:
+            pad = kv_start.astype(jnp.int32)
+        kernel = functools.partial(_causal_mh_kernel, scale=scale, bq=BQ,
+                                   nh=nh)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, L // BQ),
+            in_specs=[
+                pl.BlockSpec((1, nh, BQ, hd), lambda b, i, *_: (b, 0, i, 0)),
+                pl.BlockSpec((1, nh, L, hd), lambda b, i, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, nh, L, hd), lambda b, i, *_: (b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, nh, BQ, hd),
+                                   lambda b, i, *_: (b, 0, i, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 << 20),
+            out_shape=jax.ShapeDtypeStruct((B, nh, L, hd), q.dtype),
+            interpret=interpret,
+        )(pad, q, k, v)
+
     qf = q.reshape(B * nh, L, hd)
     kf = k.reshape(B * nh, L, hd)
     vf = v.reshape(B * nh, L, hd)

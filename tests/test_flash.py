@@ -30,7 +30,13 @@ def test_relpos_kernel_matches_oracle():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_causal_kernel_matches_oracle():
+@pytest.mark.parametrize("mh", ["1", "0"])
+def test_causal_kernel_matches_oracle(monkeypatch, mh):
+    """Covers both dispatch paths: the multi-head kernel (grid (B, L/BQ),
+    heads unrolled — the prefill-scale default) and the per-(batch, head)
+    blocked kernel (large-L fallback, forced via ANYREF_CAUSAL_MH_KERNEL=0).
+    Includes a nonzero kv_start row on each."""
+    monkeypatch.setenv("ANYREF_CAUSAL_MH_KERNEL", mh)
     B, nh, L, hd = 2, 2, 256, 64
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.standard_normal((B, nh, L, hd)), jnp.float32)
@@ -40,6 +46,16 @@ def test_causal_kernel_matches_oracle():
     got = flash.flash_causal_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+    kv_start = jnp.asarray([0, 70], jnp.int32)
+    want = np.asarray(causal_attention(q, k, v, kv_start=kv_start,
+                                       use_flash=False))
+    got = np.asarray(flash.flash_causal_attention(q, k, v, kv_start=kv_start,
+                                                  interpret=True))
+    assert not np.isnan(got).any()
+    for b in range(B):
+        s = int(kv_start[b])
+        np.testing.assert_allclose(got[b, :, s:], want[b, :, s:],
+                                   rtol=2e-4, atol=2e-4)
 
 
 def test_supported_gates():
