@@ -306,14 +306,16 @@ def test_fused_window_block_matches_resident_oracle(monkeypatch, wg,
                                rtol=3e-4, atol=3e-4)
 
 
-def test_fused_global_tail_matches_unfused_block(monkeypatch):
+@pytest.mark.parametrize("H,W", [(32, 32), (16, 64)])
+def test_fused_global_tail_matches_unfused_block(monkeypatch, H, W):
     """The fused GLOBAL-block tail (rel-pos attention via transposed-score
     sublane-broadcast bias + proj + residual + LN2 + MLP, one Pallas call
-    per image) must equal the unfused global block path."""
+    per image) must equal the unfused global block path. The non-square
+    grid catches kh/kw axis mixups in the bias broadcast (bias_T[k, q] =
+    rhT[k//W, q] + rwT[k%W, q]) that a square grid hides."""
     from anyref_tpu.config import SamConfig
     from anyref_tpu.models.sam import image_encoder as enc
 
-    H = W = 32                       # L = 1024: the smallest global shape
     nh, hd = 2, 32
     C = nh * hd
     cfg = SamConfig(encoder_embed_dim=C, encoder_depth=1,
