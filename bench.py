@@ -242,15 +242,21 @@ def main():
                 return ids, passes, canvas
 
             fetch(gen(params, cfg, batch))  # compile + warmup
-            # throughput: 2-deep pipeline (dispatch next before fetching
-            # current — overlaps host readback with device work)
+            # throughput: K-deep pipeline (dispatch K ahead before fetching
+            # the oldest — overlaps host readback/dispatch with device work;
+            # depth 2 left ~13 ms/program of host gap exposed on the trace,
+            # deeper keeps the device queue fed through readback stalls)
+            depth = max(1, int(os.environ.get("BENCH_PIPELINE", "3")))
             t0 = time.time()
-            pending = gen(params, cfg, batch)
-            for _ in range(n_queries - 1):
-                nxt = gen(params, cfg, batch)
-                fetch(pending)
-                pending = nxt
-            _, passes, _ = fetch(pending)
+            from collections import deque
+            pending = deque()
+            passes = 0
+            for _ in range(n_queries):
+                pending.append(gen(params, cfg, batch))
+                if len(pending) > depth:
+                    _, passes, _ = fetch(pending.popleft())
+            while pending:
+                _, passes, _ = fetch(pending.popleft())
             dt = (time.time() - t0) / n_queries
             qps = batch_size / dt
             # latency: serial per-query wall times (dispatch + full readback)
