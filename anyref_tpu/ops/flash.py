@@ -781,8 +781,9 @@ def fused_window_block(xw, ln1, qkv_p, tht, twt, proj_p, ln2, mlp1_p, mlp2_p,
     # is 2: WG=5 is a little faster standalone (68.4 vs ~70 ms SAM-H) but
     # its VMEM appetite RESOURCE_EXHAUSTs the full 7B batch-2 serving
     # program, the single-chip operating point (e2e: WG=1 6.91, WG=2
-    # 7.12 q/s). NW is zero-padded up to a WG multiple (the pad windows'
-    # outputs are computed and dropped).
+    # 7.12 q/s; later sweep: WG=3 e2e-neutral at 7.37 vs 7.39, WG=4 blows
+    # the compile past the bench deadline). NW is zero-padded up to a WG
+    # multiple (the pad windows' outputs are computed and dropped).
     wg_cap = int(os.environ.get("ANYREF_FUSED_WG", "2"))
     WG = max(1, min(wg_cap, 5))
     NWp = -(-NW // WG) * WG

@@ -177,7 +177,7 @@ def main():
     # that and full echo), draft_len 15 (keeps batch-2 verify chunks at 32
     # rows, inside the flat weight-streaming zone; 31 was tuned to the
     # degenerate full-echo regime). Best case (BENCH_BATCH=1
-    # BENCH_FORCE_ACCEPT= BENCH_DRAFT_LEN=31): 6.67 q/s. Full curve:
+    # BENCH_FORCE_ACCEPT= BENCH_DRAFT_LEN=31): 7.99 q/s. Full curve:
     # BASELINE.md.
     batch_size = int(os.environ.get("BENCH_BATCH", "2"))
     speculative = os.environ.get("BENCH_SPECULATIVE", "1") == "1"
