@@ -30,8 +30,30 @@ def save_params(path: str, params) -> None:
     _checkpointer().save(os.path.abspath(path), params, force=True)
 
 
+def _restore_numpy(path: str):
+    """Restore a checkpoint as host numpy arrays, independent of the
+    topology/platform it was saved on. A bare ``restore`` reconstructs the
+    SAVED shardings, which fails whenever the restoring process runs a
+    different platform or device set (params saved by a CPU process opened
+    in a TPU serving process, a pod-sharded train state opened single-chip,
+    ...). Restoring to host and letting jit/pjit place the arrays at first
+    call is the behavior every caller here actually wants."""
+    import orbax.checkpoint as ocp
+
+    ckptr = _checkpointer()
+    apath = os.path.abspath(path)
+    meta = getattr(ckptr.metadata(apath), "item_metadata", None)
+    if meta is None:  # older orbax layout: fall back to the plain restore
+        return ckptr.restore(apath)
+    is_leaf = lambda x: hasattr(x, "shape")  # noqa: E731  Array/ScalarMetadata
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta,
+        is_leaf=is_leaf)
+    return ckptr.restore(apath, restore_args=restore_args)
+
+
 def load_params(path: str):
-    return _checkpointer().restore(os.path.abspath(path))
+    return _restore_numpy(path)
 
 
 def save_train_state(ckpt_dir: str, step: int, state, keep: int = 3) -> None:
@@ -124,7 +146,7 @@ def restore_train_state(path: str, template=None):
     """``template``: a pytree with the target container types (optax states
     are namedtuples; orbax alone would restore plain dicts). Children are
     matched by name, not flatten order."""
-    restored = _checkpointer().restore(os.path.abspath(path))
+    restored = _restore_numpy(path)
     if template is None:
         return restored
     return _rebuild_by_name(template, restored)

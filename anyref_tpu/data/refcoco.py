@@ -18,6 +18,15 @@ def _coco_train2017_path(data_root: str, image_info: dict) -> str:
                         f"{str(image_info['id']).zfill(12)}.jpg")
 
 
+def _image_path(data_root: str, dataset: str, image_info: dict) -> str:
+    """refclef images live under saiapr_tc-12 (reference refer_seg.py:69-71);
+    every other family shares coco/train2017."""
+    if dataset == "refclef":
+        return os.path.join(data_root, "saiapr_tc-12",
+                            image_info["file_name"])
+    return _coco_train2017_path(data_root, image_info)
+
+
 class RefCocoTrain(SegDataset):
     """Training referring-seg over refcoco/refcoco+/refcocog/refclef (+
     grefcoco). One image per item; a random sentence per ref at train time
@@ -41,11 +50,7 @@ class RefCocoTrain(SegDataset):
                 refs_by_img.setdefault(r["image_id"], []).append(r)
             for iid in img_ids:
                 info = api.Imgs[iid]
-                if name == "refclef":
-                    path = os.path.join(data_root, "saiapr_tc-12",
-                                        info["file_name"])
-                else:
-                    path = _coco_train2017_path(data_root, info)
+                path = _image_path(data_root, name, info)
                 self.entries.append((api, info, refs_by_img[iid], path))
 
     def __len__(self):
@@ -86,6 +91,7 @@ class RefCocoVal(SegDataset):
                  split: str = "val"):
         super().__init__(retry_bad=False)
         self.data_root = data_root
+        self.dataset = dataset
         self.api = open_refer(data_root, dataset)
         self.ref_ids = self.api.getRefIds(split=split)
 
@@ -95,7 +101,7 @@ class RefCocoVal(SegDataset):
     def _get(self, index):
         ref = self.api.loadRefs(self.ref_ids[index])[0]
         info = self.api.Imgs[ref["image_id"]]
-        path = _coco_train2017_path(self.data_root, info)
+        path = _image_path(self.data_root, self.dataset, info)
         image = load_image_rgb(path)
         mask = self.api.get_mask(ref)
         sent = ref["sentences"][-1]["sent"].strip().lower()
@@ -154,7 +160,7 @@ class RefCocoValInverse(RefCocoVal):
     def _get(self, index):
         ref = self.api.loadRefs(self.ref_ids[index])[0]
         info = self.api.Imgs[ref["image_id"]]
-        path = _coco_train2017_path(self.data_root, info)
+        path = _image_path(self.data_root, self.dataset, info)
         image = load_image_rgb(path)
         mask = self.api.get_mask(ref)
         box = mask_to_xyxy(mask)

@@ -83,3 +83,22 @@ def test_restore_matches_namedtuple_fields_by_name(tmp_path):
     np.testing.assert_array_equal(np.asarray(r["w"].zeta), 5.0)
     np.testing.assert_array_equal(np.asarray(r["w"].alpha), 9.0)
     assert r["empty"] == () and r["none"] is None
+
+
+def test_load_params_restores_host_numpy(tmp_path):
+    """load_params must not depend on the shardings recorded at save time:
+    a checkpoint saved by a CPU test process is opened by TPU serving
+    processes (and pod-sharded states single-chip). The restore therefore
+    yields host numpy arrays — jit/pjit place them at first call."""
+    import jax
+
+    params = {"w": jnp.ones((4, 4), jnp.bfloat16), "step": 3,
+              "nested": {"b": jnp.zeros((2,), jnp.float32)}}
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_params(path, params)
+    out = checkpoint.load_params(path)
+    for leaf in jax.tree.leaves(out):
+        assert isinstance(leaf, np.ndarray), type(leaf)
+    assert out["w"].dtype == jnp.bfloat16
+    assert int(out["step"]) == 3
+    np.testing.assert_array_equal(out["nested"]["b"], np.zeros((2,)))

@@ -226,3 +226,17 @@ def test_loader_backpressure_bounds_readahead():
     release.set()
     t.join(30)
     assert got == list(range(64))   # ordered, complete
+
+
+def test_refclef_image_paths():
+    """refclef images resolve under saiapr_tc-12 for BOTH train and val
+    entries (reference refer_seg.py:69-71); other families share
+    coco/train2017."""
+    from anyref_tpu.data.refcoco import _image_path
+    info = {"id": 7, "file_name": "images/07/7.jpg"}
+    assert _image_path("/d", "refclef", info) == \
+        "/d/saiapr_tc-12/images/07/7.jpg"
+    assert _image_path("/d", "refcoco", info) == \
+        "/d/coco/train2017/000000000007.jpg"
+    assert _image_path("/d", "refcocog", info) == \
+        "/d/coco/train2017/000000000007.jpg"

@@ -27,6 +27,8 @@ def main():
     p.add_argument("--roi", default=None, help="x1,y1,x2,y2 (pixels)")
     p.add_argument("--audio", default=None, help=".wav path")
     p.add_argument("--out", default="mask.png")
+    p.add_argument("--max_new_tokens", type=int, default=None,
+                   help="decode budget (default: config's 128)")
     p.add_argument("--preset", default="7b", choices=["7b", "tiny"])
     args = p.parse_args()
 
@@ -68,7 +70,7 @@ def main():
     sample = helper.make_sample(image, q, None, None,
                                 file_name=args.image, **kwargs)
     batch = Collator(tok, cfg, train=False, roi=args.roi is not None)([sample])
-    predictor = Predictor(params, cfg)
+    predictor = Predictor(params, cfg, max_new_tokens=args.max_new_tokens)
     output_ids, masks = predictor.predict(batch)
     text = tok.decode([t for t in output_ids[0].tolist() if t != 2],
                       skip_special=True)

@@ -32,6 +32,8 @@ def main():
     # reason/avs/refer_inv (eval_reason.py:185, eval_refer_inv.py:39)
     p.add_argument("--rephrase_weight", type=float, default=None)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--max_new_tokens", type=int, default=None,
+                   help="decode budget (default: config's 128)")
     p.add_argument("--preset", default="7b", choices=["7b", "tiny"])
     args = p.parse_args()
 
@@ -46,7 +48,7 @@ def main():
             0.1 if args.task in ("referseg", "coco20i") else 0.0
     cfg = cfg.scaled(rephrase_weight=args.rephrase_weight)
     params = checkpoint.load_params(args.ckpt)
-    predictor = Predictor(params, cfg)
+    predictor = Predictor(params, cfg, max_new_tokens=args.max_new_tokens)
     tok = AnyRefTokenizer()
 
     if args.task == "referseg":
