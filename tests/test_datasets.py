@@ -30,14 +30,17 @@ def data_root(tmp_path_factory):
         images.append({"id": img_id, "height": h, "width": w,
                        "file_name": f"{str(img_id).zfill(12)}.jpg"})
         for k in range(2):
+            # person (k=0) covers >=10% of the image so the COCO-20i
+            # min_mask_frac filter keeps it
             x0, y0 = 8 + 30 * k, 10 + 20 * k
-            poly = [float(x0), float(y0), float(x0 + 24), float(y0),
-                    float(x0 + 24), float(y0 + 20), float(x0), float(y0 + 20)]
+            bw, bh = (32, 24) if k == 0 else (24, 20)
+            poly = [float(x0), float(y0), float(x0 + bw), float(y0),
+                    float(x0 + bw), float(y0 + bh), float(x0), float(y0 + bh)]
             annotations.append({
                 "id": ann_id, "image_id": img_id,
                 "category_id": 1 if k == 0 else 17,
-                "segmentation": [poly], "iscrowd": 0, "area": 480.0,
-                "bbox": [x0, y0, 24.0, 20.0]})
+                "segmentation": [poly], "iscrowd": 0, "area": float(bw * bh),
+                "bbox": [x0, y0, float(bw), float(bh)]})
             ann_id += 1
     coco_json = {"images": images, "annotations": annotations,
                  "categories": [{"id": 1, "name": "person"},
@@ -95,6 +98,46 @@ def data_root(tmp_path_factory):
         w.writeframes(sig.tobytes())
     with open(avs / "s4_meta_data.csv", "w") as f:
         f.write("name,vid,category,split\nv1,1,cat_meowing,train\n")
+
+    # --- ReasonSeg val split ------------------------------------------------
+    rv = root / "reason" / "val"
+    rv.mkdir(parents=True)
+    Image.fromarray(rng.integers(0, 255, (48, 64, 3), np.uint8)).save(
+        rv / "img1.jpg")
+    with open(rv / "img1.json", "w") as f:
+        json.dump({"text": ["the thing used for sitting"],
+                   "is_sentence": True,
+                   "shapes": [{"label": "target",
+                               "points": [[10, 10], [40, 10], [40, 30],
+                                          [10, 30]]}]}, f)
+
+    # --- ADE20K (2-channel instance PNG + semantic label PNG) --------------
+    ade = root / "ADEChallengeData2016"
+    (ade / "images/training").mkdir(parents=True)
+    (ade / "annotations_instance/training").mkdir(parents=True)
+    (ade / "annotations/training").mkdir(parents=True)
+    Image.fromarray(rng.integers(0, 255, (48, 64, 3), np.uint8)).save(
+        ade / "images/training/a.jpg")
+    inst = np.zeros((48, 64, 3), np.uint8)
+    inst[5:30, 5:40, 0] = 8     # channel 0: category id
+    inst[5:30, 5:40, 1] = 1     # channel 1: instance id
+    inst[32:46, 10:60, 0] = 8
+    inst[32:46, 10:60, 1] = 2
+    Image.fromarray(inst).save(ade / "annotations_instance/training/a.png")
+    sem = np.zeros((48, 64), np.uint8)
+    sem[5:30, 5:40] = 4
+    Image.fromarray(sem).save(ade / "annotations/training/a.png")
+
+    # --- COCO-20i FSS split list + reference-crop index ---------------------
+    c20 = root / "coco_20i/lists/coco/fss_list/val"
+    c20.mkdir(parents=True)
+    with open(c20 / "data_list_0.txt", "w") as f:
+        f.write("COCO_train2014_000000000001.jpg lbl\n"
+                "COCO_train2014_000000000002.jpg lbl\n")
+    from anyref_tpu.data.coco import build_ref_index
+    build_ref_index(str(img_dir), str(ann_dir / "instances_train2017.json"),
+                    str(root / "samples_0.05_0.25.json"),
+                    box_img_threshold=0.01, mask_box_threshold=0.1)
 
     return str(root)
 
@@ -240,3 +283,53 @@ def test_refclef_image_paths():
         "/d/coco/train2017/000000000007.jpg"
     assert _image_path("/d", "refcocog", info) == \
         "/d/coco/train2017/000000000007.jpg"
+
+
+def test_coco_semantic_dataset(data_root):
+    from anyref_tpu.data.coco import CocoSemanticSeg
+    ds = CocoSemanticSeg(os.path.join(data_root, "coco/train2017"),
+                         os.path.join(data_root,
+                                      "coco/annotations/instances_train2017.json"),
+                         filter_area=None)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["answer"].endswith("[SEG].")
+    # instances merged per class: exactly one mask for the sampled class
+    assert s["gt_masks"].shape[0] == 1 and s["gt_masks"].sum() > 0
+
+
+def test_coco20i_dataset(data_root):
+    """COCO-20i one-shot: query image from the FSS split list, support = a
+    same-class reference crop from the prebuilt index (reference
+    utils/coco20i.py:205-458)."""
+    from anyref_tpu.data.coco20i import Coco20i, coco20i_split_ids
+    assert 1 in coco20i_split_ids(0)     # person is a split-0 class
+    ds = Coco20i(
+        os.path.join(data_root, "coco/train2017"),
+        os.path.join(data_root, "coco/annotations/instances_train2017.json"),
+        os.path.join(data_root, "samples_0.05_0.25.json"),
+        os.path.join(data_root, "coco_20i/lists/coco/fss_list"),
+        split=0, mode="val")
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["answer"] == "person[SEG]."
+    assert "<img_ref>" in s["question"]
+    assert s["ref_image"].shape == (3, 224, 224)
+    assert s["gt_masks"].shape[0] == 1 and s["gt_masks"].sum() > 0
+
+
+def test_ade_datasets(data_root):
+    from anyref_tpu.data.ade import AdeInstanceSeg, AdeSemanticSeg
+    root = os.path.join(data_root, "ADEChallengeData2016")
+    inst = AdeInstanceSeg(os.path.join(root, "images/training"),
+                          os.path.join(root, "annotations_instance/training"))
+    assert len(inst) == 1
+    si = inst[0]
+    # two instances of the same category -> two [SEG] slots, two masks
+    assert si["answer"].count("[SEG]") == 2
+    assert si["gt_masks"].shape[0] == 2
+    sem = AdeSemanticSeg(os.path.join(root, "images/training"),
+                         os.path.join(root, "annotations/training"))
+    ss = sem[0]
+    assert ss["answer"].endswith("[SEG].")
+    assert ss["gt_masks"].shape[0] == 1 and ss["gt_masks"].sum() > 0

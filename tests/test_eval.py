@@ -123,3 +123,63 @@ def test_refer_inv_reports_all_metric_families():
     src = inspect.getsource(harnesses.evaluate_refer_inverse)
     for key in ("bleu4", "cider", "meteor", "spice"):
         assert key in src
+
+
+@pytest.mark.slow
+def test_eval_reason_smoke(data_root):  # noqa: F811
+    from anyref_tpu.eval.harnesses import evaluate_reason
+    from anyref_tpu.eval.runner import Predictor
+    from anyref_tpu.models import anyref
+    from anyref_tpu.tokenizer import AnyRefTokenizer
+    cfg = anyref_tiny()
+    params = anyref.init(jax.random.key(2), cfg, dtype=jnp.float32)
+    pred = Predictor(params, cfg, max_new_tokens=4, prompt_buckets=(384,))
+    out_root = os.path.join(data_root, "eval_out_reason")
+    r = evaluate_reason(pred, AnyRefTokenizer(), data_root, out_root)
+    assert 0.0 <= r["ciou"] <= 1.0 and r["n"] == 1
+    assert os.path.exists(os.path.join(out_root, "reason", "val",
+                                       "result.txt"))
+
+
+@pytest.mark.slow
+def test_eval_coco20i_smoke(data_root):  # noqa: F811
+    """COCO-20i harness end-to-end on split 0 (reference eval_coco20i.py):
+    query from the FSS list, support crop from the prebuilt index,
+    qualitative dumps on."""
+    from anyref_tpu.eval.harnesses import evaluate_coco20i
+    from anyref_tpu.eval.runner import Predictor
+    from anyref_tpu.models import anyref
+    from anyref_tpu.tokenizer import AnyRefTokenizer
+    cfg = anyref_tiny()
+    params = anyref.init(jax.random.key(3), cfg, dtype=jnp.float32)
+    pred = Predictor(params, cfg, max_new_tokens=4, prompt_buckets=(384,))
+    out_root = os.path.join(data_root, "eval_out_20i")
+    r = evaluate_coco20i(pred, AnyRefTokenizer(), data_root, out_root,
+                         splits=(0,), limit=1)
+    assert 0.0 <= r[0]["ciou"] <= 1.0 and r[0]["n"] == 1
+    assert os.path.exists(os.path.join(out_root, "coco20i", "0",
+                                       "result.txt"))
+
+
+@pytest.mark.slow
+def test_eval_refer_inverse_smoke(data_root):  # noqa: F811
+    """Region-caption inverse harness end-to-end: crop reference in, caption
+    out, all four pycocoevalcap metric families reported and the result
+    file appended (reference eval_refer_inv.py:183-211)."""
+    import math
+    from anyref_tpu.eval.harnesses import evaluate_refer_inverse
+    from anyref_tpu.eval.runner import Predictor
+    from anyref_tpu.models import anyref
+    from anyref_tpu.tokenizer import AnyRefTokenizer
+    cfg = anyref_tiny()
+    params = anyref.init(jax.random.key(4), cfg, dtype=jnp.float32)
+    pred = Predictor(params, cfg, max_new_tokens=4, prompt_buckets=(384,))
+    out_root = os.path.join(data_root, "eval_out_inv")
+    r = evaluate_refer_inverse(pred, AnyRefTokenizer(), data_root, "refcoco",
+                               split="val", out_root=out_root, limit=1)
+    assert r["n"] == 1
+    for key in ("bleu4", "cider", "meteor", "spice"):
+        v = r[key]
+        assert math.isnan(v) or 0.0 <= v <= 10.0, (key, v)
+    assert os.path.exists(os.path.join(out_root, "refcoco", "val",
+                                       "inv_result.txt"))
