@@ -42,8 +42,11 @@ def _restore_numpy(path: str):
 
     ckptr = _checkpointer()
     apath = os.path.abspath(path)
-    meta = getattr(ckptr.metadata(apath), "item_metadata", None)
-    if meta is None:  # older orbax layout: fall back to the plain restore
+    try:
+        meta = getattr(ckptr.metadata(apath), "item_metadata", None)
+    except Exception:  # pre-metadata orbax layouts
+        meta = None
+    if meta is None:  # no metadata: fall back to the plain restore
         return ckptr.restore(apath)
     is_leaf = lambda x: hasattr(x, "shape")  # noqa: E731  Array/ScalarMetadata
     restore_args = jax.tree.map(
