@@ -44,6 +44,12 @@ class Predictor:
         # flash-aligned lengths (384/448/512/640/768). Batch sizes also
         # bucket (pad with dummy rows) so a serving queue never triggers a
         # fresh compile per distinct batch size.
+        leaves = jax.tree.leaves(params)
+        if leaves and not isinstance(leaves[0], jax.Array):
+            # checkpoint-loaded trees arrive as HOST numpy (load_params's
+            # topology-independent restore); commit once, or jit re-uploads
+            # the full weight tree on EVERY predict call (~15 GB/query at 7B)
+            params = jax.device_put(params)
         self.params = params
         self.cfg = cfg
         self.mnt = max_new_tokens or cfg.max_new_tokens

@@ -102,3 +102,20 @@ def test_load_params_restores_host_numpy(tmp_path):
     assert out["w"].dtype == jnp.bfloat16
     assert int(out["step"]) == 3
     np.testing.assert_array_equal(out["nested"]["b"], np.zeros((2,)))
+
+
+def test_predictor_commits_host_params():
+    """Checkpoint-loaded trees are host numpy (topology-independent restore);
+    Predictor must commit them to device ONCE at construction — numpy
+    operands to jit are re-uploaded on every call (~15 GB/query at 7B)."""
+    import jax
+
+    from anyref_tpu.eval.runner import Predictor
+    from anyref_tpu.models import anyref
+
+    params = jax.tree.map(
+        np.asarray, anyref.init(jax.random.key(0), CFG, dtype=jnp.float32))
+    assert isinstance(jax.tree.leaves(params)[0], np.ndarray)
+    pred = Predictor(params, CFG)
+    for leaf in jax.tree.leaves(pred.params):
+        assert isinstance(leaf, jax.Array)
