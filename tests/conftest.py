@@ -3,13 +3,19 @@
 Tests run on CPU with 8 virtual devices so multi-chip sharding paths are
 exercised without TPU hardware (SURVEY.md §4: multi-device tests on CPU
 device-count simulation).
+
+Set ANYREF_TEST_PLATFORM=axon (or tpu) to run the suite against the real
+chip instead — used to validate Pallas kernel numerics on hardware
+(interpret-mode CPU runs cover logic; compiled-Mosaic runs cover the
+hardware lowering): `ANYREF_TEST_PLATFORM=axon pytest tests/test_flash.py`.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+_PLATFORM = os.environ.get("ANYREF_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _PLATFORM
 flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
+if _PLATFORM == "cpu" and "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
@@ -18,7 +24,7 @@ if "host_platform_device_count" not in flags:
 # import so tests never contend for the single TPU tunnel.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _PLATFORM)
 
 import sys
 

@@ -1,4 +1,10 @@
-"""Pallas flash kernels vs XLA oracle (interpret mode on CPU)."""
+"""Pallas flash kernels vs XLA oracle.
+
+On the default CPU suite the kernels run in interpret mode (logic
+coverage); under ANYREF_TEST_PLATFORM=axon (see conftest) the same tests
+compile through Mosaic and execute on the real chip, validating the
+hardware lowering against the identical XLA oracles.
+"""
 
 import numpy as np
 import pytest
@@ -9,6 +15,20 @@ import jax.numpy as jnp
 from anyref_tpu.ops import flash
 from anyref_tpu.ops.attention import (attention_with_decomposed_relpos,
                                       causal_attention)
+
+# interpret-mode Pallas on CPU; compiled Mosaic on a real TPU backend.
+INTERP = jax.default_backend() != "tpu"
+
+
+def tol(t):
+    """Backend-conditional tolerances. Interpret mode compares fp32 math
+    against the fp32 oracle — tight. Compiled on the chip, BOTH the kernel
+    and the XLA oracle run fp32 dots at the MXU's default precision (bf16
+    input passes) with different accumulation orders, so agreement is
+    bf16-eps level (~5e-3 observed); the hardware run exists to catch
+    LOWERING bugs (wrong windows/masks/indexing), which are O(1)."""
+    t = t if INTERP else max(t, 2e-2)
+    return {"rtol": t, "atol": t}
 
 
 def test_relpos_kernel_matches_oracle():
@@ -25,9 +45,9 @@ def test_relpos_kernel_matches_oracle():
     want = attention_with_decomposed_relpos(q, k, v, rh, rw, (H, W),
                                             use_flash=False)
     got = flash.flash_relpos_attention(q, k, v, rh, rw, (H, W),
-                                       interpret=True)
+                                       interpret=INTERP)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-4, atol=2e-4)
+                               **tol(2e-4))
 
 
 @pytest.mark.parametrize("mh", ["1", "0"])
@@ -43,19 +63,19 @@ def test_causal_kernel_matches_oracle(monkeypatch, mh):
     k = jnp.asarray(rng.standard_normal((B, nh, L, hd)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((B, nh, L, hd)), jnp.float32)
     want = causal_attention(q, k, v, use_flash=False)
-    got = flash.flash_causal_attention(q, k, v, interpret=True)
+    got = flash.flash_causal_attention(q, k, v, interpret=INTERP)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-4, atol=2e-4)
+                               **tol(2e-4))
     kv_start = jnp.asarray([0, 70], jnp.int32)
     want = np.asarray(causal_attention(q, k, v, kv_start=kv_start,
                                        use_flash=False))
     got = np.asarray(flash.flash_causal_attention(q, k, v, kv_start=kv_start,
-                                                  interpret=True))
+                                                  interpret=INTERP))
     assert not np.isnan(got).any()
     for b in range(B):
         s = int(kv_start[b])
         np.testing.assert_allclose(got[b, :, s:], want[b, :, s:],
-                                   rtol=2e-4, atol=2e-4)
+                                   **tol(2e-4))
 
 
 def test_supported_gates():
@@ -80,9 +100,9 @@ def test_relpos_kernel_window_shape():
     want = attention_with_decomposed_relpos(q, k, v, rh, rw, (H, W),
                                             use_flash=False)
     got = flash.flash_relpos_attention(q, k, v, rh, rw, (H, W),
-                                       interpret=True)
+                                       interpret=INTERP)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-4, atol=2e-4)
+                               **tol(2e-4))
 
 
 def test_causal_kernel_kv_start_no_nan():
@@ -101,7 +121,7 @@ def test_causal_kernel_kv_start_no_nan():
     kv_start = jnp.asarray([0, 70], jnp.int32)
 
     got = np.asarray(flash.flash_causal_attention(q, k, v, kv_start=kv_start,
-                                                  interpret=True))
+                                                  interpret=INTERP))
     assert not np.isnan(got).any(), "kernel emitted NaN (pad-row poisoning)"
 
     want = np.asarray(causal_attention(q, k, v, kv_start=kv_start,
@@ -109,7 +129,7 @@ def test_causal_kernel_kv_start_no_nan():
     for b in range(B):
         s = int(kv_start[b])
         np.testing.assert_allclose(got[b, :, s:], want[b, :, s:],
-                                   rtol=2e-4, atol=2e-4)
+                                   **tol(2e-4))
 
 
 def test_causal_kernel_kv_start_dispatch_path():
@@ -129,7 +149,7 @@ def test_causal_kernel_kv_start_dispatch_path():
     for b in range(B):
         s = int(kv_start[b])
         np.testing.assert_allclose(out[b, :, s:], want[b, :, s:],
-                                   rtol=2e-4, atol=2e-4)
+                                   **tol(2e-4))
 
 
 def test_flash_vjp_matches_xla_grads():
@@ -166,14 +186,14 @@ def test_flash_vjp_matches_xla_grads():
         gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
         for a, b, name in zip(gf, gx, "qkv"):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=2e-4, atol=2e-4,
+                                       **tol(2e-4),
                                        err_msg=f"d{name} L={L}")
         # forward agreement too
         of = causal_attention(q, k, v, kv_start=kv_start, use_flash=True,
                               differentiable=True)
         ox = causal_attention(q, k, v, kv_start=kv_start, use_flash=False)
         np.testing.assert_allclose(np.asarray(of), np.asarray(ox),
-                                   rtol=2e-4, atol=2e-4)
+                                   **tol(2e-4))
 
 
 def test_fused_layer_norm_matches_xla():
@@ -186,19 +206,19 @@ def test_fused_layer_norm_matches_xla():
              "bias": jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)}
         want = layer_norm(p, x, eps=1e-6)
         got = flash.layer_norm_fused(x, p["scale"], p["bias"], 1e-6,
-                                     interpret=True)
+                                     interpret=INTERP)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-5, atol=1e-5)
+                                   **tol(1e-5))
     # bf16 storage path
     xb = jnp.asarray(rng.standard_normal((4, 256)), jnp.bfloat16)
     pb = {"scale": jnp.ones((256,), jnp.bfloat16),
           "bias": jnp.zeros((256,), jnp.bfloat16)}
     want = layer_norm(pb, xb, eps=1e-6)
     got = flash.layer_norm_fused(xb, pb["scale"], pb["bias"], 1e-6,
-                                 interpret=True)
+                                 interpret=INTERP)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
-                               rtol=1e-2, atol=1e-2)
+                               **tol(1e-2))
 
 
 def test_fused_rms_norm_matches_xla():
@@ -209,9 +229,9 @@ def test_fused_rms_norm_matches_xla():
         x = jnp.asarray(rng.standard_normal(shape) * 2, jnp.float32)
         p = {"scale": jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)}
         want = rms_norm(p, x, eps=1e-6)
-        got = flash.rms_norm_fused(x, p["scale"], 1e-6, interpret=True)
+        got = flash.rms_norm_fused(x, p["scale"], 1e-6, interpret=INTERP)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-5, atol=1e-5)
+                                   **tol(1e-5))
 
 
 def test_relpos_qkv_kernel_matches_split_path():
@@ -226,14 +246,14 @@ def test_relpos_qkv_kernel_matches_split_path():
     rw = jnp.asarray(rng.standard_normal((W, W, hd)) * 0.1, jnp.float32)
 
     got = flash.flash_relpos_attention_qkv(qkv, rh, rw, (H, W), nh,
-                                           interpret=True)
+                                           interpret=INTERP)
     # oracle: split heads, run the reference attention, merge
     q, k, v = (qkv[..., i * C:(i + 1) * C].reshape(B, L, nh, hd)
                .transpose(0, 2, 1, 3) for i in range(3))
     want = attention_with_decomposed_relpos(q, k, v, rh, rw, (H, W),
                                             use_flash=False)
     want = np.asarray(want).transpose(0, 2, 1, 3).reshape(B, L, C)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got), want, **tol(2e-4))
 
 
 @pytest.mark.parametrize("wg,mlp_chunk", [
@@ -298,12 +318,12 @@ def test_fused_window_block_matches_resident_oracle(monkeypatch, wg,
     # is never read: re-masked next layer, cropped at unpartition)
     np.testing.assert_allclose(np.asarray(got * mask),
                                np.asarray(want * mask),
-                               rtol=3e-4, atol=3e-4)
+                               **tol(3e-4))
     # and the final unpartitioned (cropped) tensors agree
     a = enc._window_unpartition(got, ws, pad_hw, (H, W))
     b = enc._window_unpartition(want, ws, pad_hw, (H, W))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               rtol=3e-4, atol=3e-4)
+                               **tol(3e-4))
 
 
 @pytest.mark.parametrize("H,W", [(32, 32), (16, 64)])
@@ -353,7 +373,7 @@ def test_fused_global_tail_matches_unfused_block(monkeypatch, H, W):
     monkeypatch.setenv("ANYREF_FUSED_GLOBAL_BLOCK", "1")
     got = enc._block(p, x, cfg, window=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=3e-4, atol=3e-4)
+                               **tol(3e-4))
 
 
 def test_mha_qkv_kernel_matches_split_oracle(monkeypatch):
@@ -370,4 +390,4 @@ def test_mha_qkv_kernel_matches_split_oracle(monkeypatch):
     monkeypatch.setenv("ANYREF_QKV_MHA_KERNEL", "0")
     want = att.mha_qkv(qkv, nh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-5, atol=2e-5)
+                               **tol(2e-5))

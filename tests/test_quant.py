@@ -6,6 +6,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+INTERP = jax.default_backend() != "tpu"
+# compiled-on-chip runs accumulate through the MXU's default fp32 precision
+# (bf16 passes) in both kernel and oracle — bf16-eps-level agreement only
+TOL = {"rtol": 1e-4, "atol": 1e-4} if INTERP else {"rtol": 2e-2, "atol": 2e-2}
+
 from anyref_tpu.ops.quant import (int8_matmul, int8_matmul_xla,
                                   quantize_int8, quantize_llama)
 
@@ -16,10 +21,10 @@ def test_kernel_matches_xla():
     q = quantize_int8(w)
     for rows in (1, 16, 300):
         x = jnp.asarray(rng.standard_normal((rows, 256)), jnp.float32)
-        got = int8_matmul(x, q["w_q"], q["scale"], interpret=True)
+        got = int8_matmul(x, q["w_q"], q["scale"], interpret=INTERP)
         want = int8_matmul_xla(x, q["w_q"], q["scale"])
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-4, atol=1e-4)
+                                   **TOL)
 
 
 def test_quantization_error_bounded():
