@@ -246,18 +246,40 @@ _SPICE_STOP = frozenset(
     "a an the is are was were be been being am do does did has have had of to"
     " in on at by with for from into onto over under and or as that this it"
     " its there which who whom".split())
+# prepositions treated as SPICE relation heads (subject, rel, object) —
+# includes the locative preps the stop list drops plus spatial preps that
+# are otherwise content words
+_SPICE_REL = frozenset(
+    "in on at by with for from into onto over under near above below behind"
+    " beside between across along around inside outside against atop next"
+    " beneath underneath toward towards".split())
 
 
 def _spice_tuples(s: str) -> set:
     """Shallow proposition tuples: stemmed content unigrams (objects /
-    attributes) + adjacent content-word bigrams (attribute-object and
-    relation pairs). A rule-based stand-in for SPICE's scene-graph parse
-    (the reference's pycocoevalcap SPICE runs a Java dependency parser,
-    out of scope for a native metric; same F1-over-tuples scoring)."""
-    toks = [t for t in _tokens(s) if t and t not in _SPICE_STOP]
+    attributes), adjacent content-word bigrams (attribute-object pairs),
+    and (subject, preposition, object) relation triples anchored on a
+    closed prepositional class — a rule-based stand-in for SPICE's
+    scene-graph parse (the reference's pycocoevalcap SPICE runs a Java
+    dependency parser, out of scope for a native metric; same
+    F1-over-tuples scoring). On short region captions — mostly noun
+    phrases with locative preps — adjacency + prepositional triples
+    approximate the parser's attribute/relation edges."""
+    raw = [t for t in _tokens(s) if t]
+    toks = [t for t in raw if t not in _SPICE_STOP]
     stems = [_stem(t) for t in toks]
     tuples = set((t,) for t in stems)
     tuples.update(zip(stems, stems[1:]))
+    for i, t in enumerate(raw):
+        if t in _SPICE_REL:
+            subj = next((w for w in reversed(raw[:i])
+                         if w not in _SPICE_STOP and w not in _SPICE_REL),
+                        None)
+            obj = next((w for w in raw[i + 1:]
+                        if w not in _SPICE_STOP and w not in _SPICE_REL),
+                       None)
+            if subj is not None and obj is not None:
+                tuples.add((_stem(subj), t, _stem(obj)))
     return tuples
 
 

@@ -161,8 +161,11 @@ def evaluate_refer_inverse(predictor: Predictor, tokenizer, data_root: str,
         import warnings
         warnings.warn("nltk unavailable: meteor/spice reported as NaN")
         met = spc = float("nan")
+    # key says "shallow": the scorer is rule-based tuple SPICE, not the
+    # reference's Java dependency-parse SPICE (eval_refer_inv.py:204-211) —
+    # comparable between checkpoints, not to published SPICE numbers
     result = {"bleu4": bleu_n(hyps, refs, 4), "cider": cider_d(hyps, refs),
-              "meteor": met, "spice": spc,
+              "meteor": met, "spice_shallow": spc,
               "n": seen}
     out_dir = os.path.join(out_root, dataset, split)
     os.makedirs(out_dir, exist_ok=True)

@@ -64,12 +64,13 @@ class AnyRefTokenizer:
     def from_pretrained(cls, path: str,
                         tokens: SpecialTokens = SpecialTokens()):
         """Load the real LLaMA tokenizer from an HF directory. Prefers the
-        fast ``tokenizer.json`` (no extra deps); falls back to HF
-        AutoTokenizer for directories that ship only the SentencePiece
-        ``tokenizer.model`` (the LLaVA-Lightning layout — slow->fast
-        conversion needs the ``sentencepiece`` package). Base-vocab piece
-        ids are preserved; added specials use this framework's fixed layout
-        (added in the same order as reference train.py:100-131)."""
+        fast ``tokenizer.json`` (no extra deps); directories that ship only
+        the SentencePiece ``tokenizer.model`` (the LLaVA-Lightning layout —
+        reference train.py:58-62) load through the native pure-Python
+        SentencePiece implementation (``anyref_tpu.sp``), so conversion is
+        self-contained with zero extra packages. Base-vocab piece ids are
+        preserved; added specials use this framework's fixed layout (added
+        in the same order as reference train.py:100-131)."""
         import os
 
         class _HF:
@@ -82,32 +83,14 @@ class AnyRefTokenizer:
             def decode(self, ids):
                 return self.tk.decode(ids)
 
-        class _HFSlow:
-            def __init__(self, tk):
-                self.tk = tk
-
-            def encode(self, text, add_special_tokens=False):
-                return self.tk(text, add_special_tokens=False)["input_ids"]
-
-            def decode(self, ids):
-                return self.tk.decode(ids)
-
         fast = os.path.join(path, "tokenizer.json")
         if os.path.exists(fast):
             from tokenizers import Tokenizer
             return cls(_HF(Tokenizer.from_file(fast)), tokens)
-        if os.path.exists(os.path.join(path, "tokenizer.model")):
-            try:
-                from transformers import AutoTokenizer
-                return cls(_HFSlow(AutoTokenizer.from_pretrained(path)),
-                           tokens)
-            except Exception as e:
-                raise RuntimeError(
-                    f"{path} ships only tokenizer.model; converting it "
-                    f"needs the `sentencepiece` package (pip install "
-                    f"sentencepiece), or pre-convert once with "
-                    f"AutoTokenizer(...).save_pretrained to get a "
-                    f"tokenizer.json: {e}") from e
+        sp_path = os.path.join(path, "tokenizer.model")
+        if os.path.exists(sp_path):
+            from .sp import SentencePieceModel
+            return cls(SentencePieceModel.from_file(sp_path), tokens)
         raise FileNotFoundError(
             f"no tokenizer.json or tokenizer.model under {path}")
 

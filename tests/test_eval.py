@@ -113,6 +113,10 @@ def test_spice():
     bound = spice(["red cat"], [["red cat"]])
     unbound = spice(["red mat cat"], [["red cat"]])
     assert bound > unbound
+    # relation triples are directional: same bag of words, flipped
+    # prepositional roles -> (cat, on, mat) vs (mat, on, cat) don't match
+    assert spice(["cat on the mat"], [["cat on the mat"]]) == 1.0
+    assert spice(["mat on the cat"], [["cat on the mat"]]) < 1.0
 
 
 def test_refer_inv_reports_all_metric_families():
@@ -121,7 +125,9 @@ def test_refer_inv_reports_all_metric_families():
     import inspect
     from anyref_tpu.eval import harnesses
     src = inspect.getsource(harnesses.evaluate_refer_inverse)
-    for key in ("bleu4", "cider", "meteor", "spice"):
+    # the SPICE family is emitted as "spice_shallow": the scorer is the
+    # rule-based tuple stand-in, not dependency-parse SPICE
+    for key in ("bleu4", "cider", "meteor", "spice_shallow"):
         assert key in src
 
 
@@ -178,7 +184,7 @@ def test_eval_refer_inverse_smoke(data_root):  # noqa: F811
     r = evaluate_refer_inverse(pred, AnyRefTokenizer(), data_root, "refcoco",
                                split="val", out_root=out_root, limit=1)
     assert r["n"] == 1
-    for key in ("bleu4", "cider", "meteor", "spice"):
+    for key in ("bleu4", "cider", "meteor", "spice_shallow"):
         v = r[key]
         assert math.isnan(v) or 0.0 <= v <= 10.0, (key, v)
     assert os.path.exists(os.path.join(out_root, "refcoco", "val",

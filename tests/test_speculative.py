@@ -146,7 +146,7 @@ def test_acceptance_on_non_degenerate_model():
                                           max_new_tokens=mnt),
                         static_argnums=(1,))
     emitted = None
-    for step_i in range(120):
+    for step_i in range(240):
         state, metrics = train_step(state, frozen, tbatch)
         if step_i >= 40 and step_i % 20 == 19:
             out = gen_plain(merged_params(state), CFG, gbatch)
@@ -155,10 +155,14 @@ def test_acceptance_on_non_degenerate_model():
             if ids == target_ids:
                 emitted = ids
                 break
+    # deterministic (fixed seeds, fixed data): convergence is guaranteed
+    # well inside the budget (observed: exact answer by step 60, 4.12
+    # tok/pass) — a miss is a real regression, so FAIL rather than skip
+    # (VERDICT r3 #7)
     if emitted is None:
-        pytest.skip("tiny model did not reach the exact answer in 140 "
+        pytest.fail("tiny model did not reach the exact answer in 240 "
                     f"steps (loss {float(metrics['loss']):.3f}) — "
-                    "acceptance unmeasurable this run")
+                    "training or generate path regressed")
 
     spec = jax.jit(functools.partial(anyref.generate, max_new_tokens=mnt,
                                      speculative=True, draft_len=15),
@@ -170,10 +174,13 @@ def test_acceptance_on_non_degenerate_model():
     tokens_per_pass = n_tok / passes
     print(f"\nnon-degenerate acceptance: {n_tok} tokens in {passes} passes "
           f"-> {tokens_per_pass:.2f} tok/pass (answer: {tok.decode(emitted)!r})")
-    # the echoed expression must be accepted in bulk: strictly better than
-    # one-token-per-pass greedy decode
+    # the echoed expression must be accepted in bulk. The floor quoted in
+    # BASELINE.md/README (4.12 tok/pass, draft_len=15) is an enforced
+    # invariant, not a best-effort print (VERDICT r3 #7): referring answers
+    # echo the prompt expression, so prompt-lookup must land >=4 tok/pass
+    # on this fixture or the acceptance machinery regressed.
     assert passes < n_tok, (passes, n_tok)
-    assert tokens_per_pass >= 1.5
+    assert tokens_per_pass >= 4.0, tokens_per_pass
 
 
 @pytest.mark.slow
