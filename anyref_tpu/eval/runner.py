@@ -39,7 +39,9 @@ class Predictor:
                  max_new_tokens: Optional[int] = None,
                  prompt_buckets=(129, 193, 257, 385, 513),
                  batch_buckets=(1, 2, 4, 8),
-                 speculative: bool = False):
+                 speculative: bool = False,
+                 draft_len: Optional[int] = None,
+                 max_accept: Optional[int] = None):
         # buckets = 1 (mod 128): +255 image expansion lands prefill on
         # flash-aligned lengths (384/448/512/640/768). Batch sizes also
         # bucket (pad with dummy rows) so a serving queue never triggers a
@@ -56,6 +58,11 @@ class Predictor:
         self.buckets = sorted(prompt_buckets)
         self.batch_buckets = sorted(batch_buckets)
         self.speculative = speculative
+        # speculative knobs (None = anyref.generate defaults); max_accept
+        # caps accepted tokens per verify pass — the bench's acceptance-floor
+        # sweep runs through the same serving machinery it measures
+        self.draft_len = draft_len
+        self.max_accept = max_accept
         if speculative and _single_device(params):
             # Serving-layout conversion (transposed + fused decoder weights)
             # CONSUMES the caller's param tree: it rewrites the nested layer
@@ -76,9 +83,14 @@ class Predictor:
             # batched speculative: rows advance by the minimum accepted
             # length per pass (lossless lockstep, anyref._speculative_decode)
             spec = self.speculative
+            kw = {}
+            if spec and self.draft_len is not None:
+                kw["draft_len"] = self.draft_len
+            if spec and self.max_accept is not None:
+                kw["max_accept"] = self.max_accept
             self._jitted[keyset] = jax.jit(
                 functools.partial(anyref.generate, max_new_tokens=self.mnt,
-                                  speculative=spec),
+                                  speculative=spec, **kw),
                 static_argnums=(1,))
         return self._jitted[keyset]
 

@@ -48,18 +48,27 @@ class Request:
 class Server:
     def __init__(self, params, cfg: AnyRefConfig,
                  tokenizer: Optional[AnyRefTokenizer] = None,
-                 max_batch: int = 1, max_wait_ms: float = 5.0,
+                 max_batch: int = 2, max_wait_ms: float = 5.0,
                  preprocess_workers: int = 4,
-                 speculative: Optional[bool] = None):
+                 speculative: Optional[bool] = None,
+                 max_new_tokens: Optional[int] = None,
+                 draft_len: Optional[int] = None,
+                 max_accept: Optional[int] = None):
         self.cfg = cfg
         self.tok = tokenizer or AnyRefTokenizer()
         # speculative decoding is the measured-best config (bench.py: ~5 q/s
         # vs 1.1 plain at decode32, batch 1); with batch > 1 the lockstep
         # batched variant shares each verify pass's weight stream across
-        # rows AND accepts multi-token spans
+        # rows AND accepts multi-token spans. max_batch default 2 = the
+        # measured single-chip operating point (BASELINE.md: batch 2 shares
+        # each verify pass's weight stream; batch 4 fails compile on a
+        # 16 GiB chip) — the server exercises its own batching by default.
         if speculative is None:
             speculative = True
-        self.predictor = Predictor(params, cfg, speculative=speculative)
+        self.predictor = Predictor(params, cfg, speculative=speculative,
+                                   max_new_tokens=max_new_tokens,
+                                   draft_len=draft_len,
+                                   max_accept=max_accept)
         self.collator = Collator(self.tok, cfg, train=False)
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0

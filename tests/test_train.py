@@ -55,6 +55,93 @@ def test_overfit_one_batch():
     assert losses[-1] < losses[0], f"no learning: {losses[0]} -> {losses[-1]}"
 
 
+@pytest.mark.slow
+def test_overfit_learns_mask():
+    """Close the train->generate->mask learning loop (VERDICT r3 #3): train
+    the tiny preset on one referring fixture with a structured GT mask until
+    greedy decode emits the supervised '<expr>[SEG].' answer, then run the
+    REAL eval path (Predictor -> binary_mask -> evaluate_segmentation) and
+    require cIoU >= 0.9 against the overfit ground truth. This is the
+    reference's own verification style (utils/coco_instance.py:276-277
+    overfit fixtures scored through eval_referseg.py:197-219) as one test:
+    data -> loss -> optimizer -> generate -> SAM decode -> metric must all
+    point the same direction."""
+    from anyref_tpu.data.collator import Collator
+    from anyref_tpu.eval.referseg import evaluate_segmentation
+    from anyref_tpu.eval.runner import Predictor
+    from anyref_tpu.tokenizer import (AnyRefTokenizer, seg_answer,
+                                      seg_question, tokenize_prompt)
+    import functools
+
+    expr = "the red cat"
+    tok = AnyRefTokenizer()
+    rng = np.random.default_rng(0)
+    gt = np.zeros((40, 56), np.uint8)
+    gt[8:32, 16:48] = 1                       # rectangle, ~34% of the frame
+    inst = {
+        "clip_image": rng.standard_normal((3, 224, 224)).astype(np.float32),
+        "sam_image": rng.standard_normal(
+            (3, CFG.sam.image_size, CFG.sam.image_size)).astype(np.float32),
+        "sam_resized_size": (CFG.sam.image_size, CFG.sam.image_size),
+        "question": seg_question(expr), "answer": seg_answer(expr),
+        "gt_masks": gt[None],
+        "height": 40, "width": 56, "file_name": "x.jpg",
+    }
+    col_t = Collator(tok, CFG, train=True)
+    tbatch = step_mod.device_batch(col_t([inst, inst]))
+
+    params = anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
+    lora_cfg = lora_mod.LoraConfig()
+    opt = step_mod.make_optimizer(lr=3e-3, warmup=2, total_steps=2000)
+    state, frozen = step_mod.init_state(jax.random.key(1), params, lora_cfg,
+                                        opt)
+    train_step = jax.jit(step_mod.make_train_step(CFG, lora_cfg, opt,
+                                                  remat=False))
+
+    labels = np.asarray(tbatch["labels"][0])
+    target_ids = [int(t) for t in labels[labels != -100] if t != 2]
+    mnt = len(target_ids) + 2
+    gbatch = {
+        "input_ids": jnp.asarray(
+            np.asarray(tokenize_prompt(tok, seg_question(expr)),
+                       np.int32)[None]),
+        "clip_images": jnp.asarray(inst["clip_image"][None]),
+        "sam_images": jnp.asarray(inst["sam_image"][None]),
+    }
+    gen_plain = jax.jit(functools.partial(anyref.generate,
+                                          max_new_tokens=mnt),
+                        static_argnums=(1,))
+
+    def merged_params(state):
+        p = lora_mod.merge_params(state.dense, frozen)
+        return {**p, "llama": lora_mod.apply(p["llama"], state.lora,
+                                             lora_cfg)}
+
+    answer_ok = dice = None
+    for step_i in range(500):
+        state, metrics = train_step(state, frozen, tbatch)
+        dice = float(metrics["dice_loss"])
+        if step_i >= 40 and step_i % 25 == 24:
+            out = gen_plain(merged_params(state), CFG, gbatch)
+            ids = [t for t in np.asarray(out.output_ids)[0].tolist()
+                   if t != 2]
+            answer_ok = ids == target_ids
+            if answer_ok and dice < 0.05:
+                break
+    assert answer_ok, "greedy decode never reproduced the trained answer"
+    assert dice < 0.15, f"mask head did not overfit (dice {dice:.3f})"
+
+    # the REAL eval path: fresh Predictor over the merged weights, 1-sample
+    # in-memory dataset, scored by the shared cIoU/gIoU harness
+    eval_inst = dict(inst, answer=None)
+    pred = Predictor(merged_params(state), CFG, max_new_tokens=mnt,
+                     prompt_buckets=(384,))
+    result = evaluate_segmentation(pred, [eval_inst], tok, num_workers=0,
+                                   progress=False)
+    assert result["n"] == 1
+    assert result["ciou"] >= 0.9, result
+
+
 def test_lora_merge_equivalence():
     """apply_lora == merge for the forward path; zero-init B = identity."""
     params = anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
