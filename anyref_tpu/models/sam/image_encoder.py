@@ -221,12 +221,27 @@ def _fused_window_layer(p, xw: jax.Array, cfg: SamConfig,
     ws = cfg.window_size
     tht = _get_rel_pos_table(ws, p["attn"]["rel_pos_h"]).reshape(ws * ws, -1)
     twt = _get_rel_pos_table(ws, p["attn"]["rel_pos_w"]).reshape(ws * ws, -1)
+    interp = jax.default_backend() != "tpu"
+    if os.environ.get("ANYREF_FUSED_SPLIT") == "1":
+        # split variant: attention and MLP as two pipelined kernels. Frees
+        # the MLP weights from the attention kernel's VMEM budget (the WG
+        # constraint) and runs the MLP as a window-structure-free row-
+        # blocked GEMM stream at shape-optimal M.
+        NW, L, C = xw.shape
+        x1 = _flash.fused_window_attn(
+            xw, p["norm1"], p["attn"]["qkv"], tht, twt, p["attn"]["proj"],
+            (ws, ws), cfg.encoder_num_heads, grid_hw, nwc,
+            eps=cfg.layer_norm_eps, interpret=interp)
+        return _flash.fused_mlp_stream(
+            x1.reshape(NW * L, C), p["norm2"], p["mlp"]["lin1"],
+            p["mlp"]["lin2"], eps=cfg.layer_norm_eps,
+            interpret=interp).reshape(NW, L, C)
     return _flash.fused_window_block(
         xw, p["norm1"], p["attn"]["qkv"], tht, twt, p["attn"]["proj"],
         p["norm2"], p["mlp"]["lin1"], p["mlp"]["lin2"],
         (ws, ws), cfg.encoder_num_heads, grid_hw, nwc,
         eps=cfg.layer_norm_eps,
-        interpret=jax.default_backend() != "tpu")
+        interpret=interp)
 
 
 def _fused_window_layer_enabled(cfg: SamConfig) -> bool:

@@ -617,66 +617,39 @@ def _erf_f32(x):
 
 
 def _gelu_exact(x):
-    """erf-GELU (torch nn.GELU default) via _erf_f32; error ~1e-7 absolute,
-    below bf16 resolution of the stream it feeds."""
+    """erf-GELU (torch nn.GELU default). ANYREF_FUSED_GELU selects the
+    in-kernel implementation:
+      * exact (default) — _erf_f32 rational approx (|eps| <= 1.5e-7): sign/
+        abs/reciprocal + 5-term poly + exp + 4 muls, ~15 VPU ops/element;
+      * tanh — the tanh-form GELU (x/2 * (1 + tanh(0.79788456*(x +
+        0.044715 x^3)))): one transcendental + 6 muls. Max deviation from
+        erf-GELU is ~1e-3 absolute (at |x|~2) — below the bf16 resolution
+        of the stream it feeds at those magnitudes, but 3-4 ULP, so it is
+        opt-in for perf experiments, not the default.
+    """
+    if os.environ.get("ANYREF_FUSED_GELU", "exact") == "tanh":
+        return x * 0.5 * (1.0 + jnp.tanh(
+            0.7978845608028654 * (x + 0.044715 * x * x * x)))
     return x * 0.5 * (1.0 + _erf_f32(x * (2.0 ** -0.5)))
 
 
-def _fused_window_block_kernel(
-        x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, tcat_ref,
-        wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
-        b2_ref, o_ref, *scratch, eps: float, nh: int, hd: int, ws: int,
-        nwc: int, nw: int, H: int, W: int, WG: int, TP: int, MC: int):
-    """WG ENTIRE windowed ViTDet blocks per grid step:
-    LN1 + pad-mask + fused-QKV projection + rel-pos attention (all heads) +
-    output projection + residual + LN2 + MLP + residual — no intermediate
-    ever leaves VMEM, and the layer's weights stay VMEM-resident across the
-    whole window grid (constant index maps).
-
-    The three GEMMs run on ROW-MERGED [WG*L, C] operands (L=196 alone caps
-    the MXU M-dimension at 196/256 = 77% utilization; merged rows reach
-    ~96%); attention runs per (window, head) on leading-dim slices.
-
-    Rel-pos bias is computed IN-KERNEL from the raw gathered tables with no
-    gathers/transposes: scores are built TRANSPOSED (s_T[k, q]) so the
-    per-row table row-selection becomes a masked sum over the leading
-    (sublane) axis, and both bias expansions are [L, S] @ [S, L] matmuls.
-    """
+def _window_attn_all(qkv3, tcat_ref, scratch, *, nh: int, hd: int, ws: int,
+                     WG: int, TP: int, out_dtype, scale: float = None):
+    """All-window, all-head rel-pos window attention on the fused-QKV
+    stream: qkv3 [WG, L, 3C] -> [WG, L, C]. Shared by the combined
+    whole-layer kernel and the split attention-only kernel. ``hd`` is the
+    STORED per-head width (may be zero-padded past the model's head_dim
+    for lane alignment — see fused_window_attn HDPAD); ``scale`` is always
+    the model head_dim's softmax scale."""
     L = ws * ws
     C = nh * hd
-    WL = WG * L
-    x3 = x_ref[...].astype(jnp.float32)                    # [WG, L, C]
-
-    # pad mask from the window indices (windows scan row-major over the
-    # padded (ceil(H/ws)*ws) grid; right/bottom windows overhang)
-    wi = (pl.program_id(0) * WG
-          + jax.lax.broadcasted_iota(jnp.int32, (WG, L, 1), 0)) % nw
-    li = jax.lax.broadcasted_iota(jnp.int32, (WG, L, 1), 1)
-    rows = (wi // nwc) * ws + li // ws
-    cols = (wi % nwc) * ws + li % ws
-    mask3 = ((rows < H) & (cols < W)).astype(jnp.float32)  # [WG, L, 1]
-
-    def ln(v, s_ref, b_ref):
-        mean = jnp.mean(v, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(v - mean), axis=-1, keepdims=True)
-        return ((v - mean) * jax.lax.rsqrt(var + eps)
-                * s_ref[0].astype(jnp.float32)
-                + b_ref[0].astype(jnp.float32))
-
-    h = (ln(x3, ln1s_ref, ln1b_ref) * mask3).astype(o_ref.dtype)
-    qkv = jax.lax.dot_general(
-        h.reshape(WL, C), wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) \
-        + bqkv_ref[0].astype(jnp.float32)                  # [WL, 3C]
-    qkv3 = qkv.astype(o_ref.dtype).reshape(WG, L, 3 * C)
-
     # per-query row/col selectors for the table row (leading-axis mask)
     qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
     jj = jax.lax.broadcasted_iota(jnp.int32, (ws, 1, 1), 0)
     sel_h = (jj == qpos // ws).astype(jnp.float32)         # [ws, 1, L]
     sel_w = (jj == qpos % ws).astype(jnp.float32)
 
-    scale = hd ** -0.5
+    scale = hd ** -0.5 if scale is None else scale
 
     def win_attn(qkv_w):
         """Attention for ONE window's [L, 3C] fused-QKV rows -> [L, C]."""
@@ -712,23 +685,76 @@ def _fused_window_block_kernel(
         return jnp.concatenate(outs, axis=1)               # [L, C]
 
     if WG == 1:
-        attn = win_attn(qkv3[0])[None].astype(o_ref.dtype)
-    else:
-        # windows iterate via fori_loop so the unrolled program stays at
-        # nh bodies regardless of WG (WG*nh unrolled bodies blow up the
-        # Mosaic compile — remote helper SIGKILL at WG=5) while the three
-        # GEMMs still run on WG-merged rows (M = WG*L). Mosaic has no
-        # dynamic_slice on VALUES, so the loop stages through VMEM scratch
-        # REFS (dynamic leading-dim ref indexing is supported).
-        qkv_s, attn_s = scratch
-        qkv_s[...] = qkv3
+        return win_attn(qkv3[0])[None].astype(out_dtype)
+    # windows iterate via fori_loop so the unrolled program stays at
+    # nh bodies regardless of WG (WG*nh unrolled bodies blow up the
+    # Mosaic compile — remote helper SIGKILL at WG=5). Mosaic has no
+    # dynamic_slice on VALUES, so the loop stages through VMEM scratch
+    # REFS (dynamic leading-dim ref indexing is supported).
+    qkv_s, attn_s = scratch
+    qkv_s[...] = qkv3
 
-        def win_body(w, _):
-            attn_s[w] = win_attn(qkv_s[w]).astype(attn_s.dtype)
-            return 0
+    def win_body(w, _):
+        attn_s[w] = win_attn(qkv_s[w]).astype(attn_s.dtype)
+        return 0
 
-        jax.lax.fori_loop(0, WG, win_body, 0)
-        attn = attn_s[...]
+    jax.lax.fori_loop(0, WG, win_body, 0)
+    return attn_s[...]
+
+
+def _window_pad_mask(nwc: int, nw: int, H: int, W: int, WG: int, L: int,
+                     ws: int):
+    """[WG, L, 1] pad mask from the window indices (windows scan row-major
+    over the padded (ceil(H/ws)*ws) grid; right/bottom windows overhang)."""
+    wi = (pl.program_id(0) * WG
+          + jax.lax.broadcasted_iota(jnp.int32, (WG, L, 1), 0)) % nw
+    li = jax.lax.broadcasted_iota(jnp.int32, (WG, L, 1), 1)
+    rows = (wi // nwc) * ws + li // ws
+    cols = (wi % nwc) * ws + li % ws
+    return ((rows < H) & (cols < W)).astype(jnp.float32)
+
+
+def _fused_window_block_kernel(
+        x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, tcat_ref,
+        wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+        b2_ref, o_ref, *scratch, eps: float, nh: int, hd: int, ws: int,
+        nwc: int, nw: int, H: int, W: int, WG: int, TP: int, MC: int):
+    """WG ENTIRE windowed ViTDet blocks per grid step:
+    LN1 + pad-mask + fused-QKV projection + rel-pos attention (all heads) +
+    output projection + residual + LN2 + MLP + residual — no intermediate
+    ever leaves VMEM, and the layer's weights stay VMEM-resident across the
+    whole window grid (constant index maps).
+
+    The three GEMMs run on ROW-MERGED [WG*L, C] operands (L=196 alone caps
+    the MXU M-dimension at 196/256 = 77% utilization; merged rows reach
+    ~96%); attention runs per (window, head) on leading-dim slices.
+
+    Rel-pos bias is computed IN-KERNEL from the raw gathered tables with no
+    gathers/transposes: scores are built TRANSPOSED (s_T[k, q]) so the
+    per-row table row-selection becomes a masked sum over the leading
+    (sublane) axis, and both bias expansions are [L, S] @ [S, L] matmuls.
+    """
+    L = ws * ws
+    C = nh * hd
+    WL = WG * L
+    x3 = x_ref[...].astype(jnp.float32)                    # [WG, L, C]
+    mask3 = _window_pad_mask(nwc, nw, H, W, WG, L, ws)     # [WG, L, 1]
+
+    def ln(v, s_ref, b_ref):
+        mean = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(v - mean), axis=-1, keepdims=True)
+        return ((v - mean) * jax.lax.rsqrt(var + eps)
+                * s_ref[0].astype(jnp.float32)
+                + b_ref[0].astype(jnp.float32))
+
+    h = (ln(x3, ln1s_ref, ln1b_ref) * mask3).astype(o_ref.dtype)
+    qkv = jax.lax.dot_general(
+        h.reshape(WL, C), wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + bqkv_ref[0].astype(jnp.float32)                  # [WL, 3C]
+    qkv3 = qkv.astype(o_ref.dtype).reshape(WG, L, 3 * C)
+    attn = _window_attn_all(qkv3, tcat_ref, scratch, nh=nh, hd=hd, ws=ws,
+                            WG=WG, TP=TP, out_dtype=o_ref.dtype)
     attn = attn.astype(o_ref.dtype)
     proj = jax.lax.dot_general(
         attn.reshape(WL, C), wproj_ref[...], (((1,), (0,)), ((), ())),
@@ -847,6 +873,201 @@ def fused_window_block(xw, ln1, qkv_p, tht, twt, proj_p, ln2, mlp1_p, mlp2_p,
       mlp1_p["w"], mlp1_p["b"].reshape(1, mlp_dim),
       mlp2_p["w"], mlp2_p["b"].reshape(1, C))
     return out[:NW] if NWp != NW else out
+
+
+def _fused_window_attn_kernel(
+        x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, tcat_ref,
+        wproj_ref, bproj_ref, o_ref, *scratch, eps: float, nh: int, hd: int,
+        ws: int, nwc: int, nw: int, H: int, W: int, WG: int, TP: int,
+        scale: float):
+    """Attention HALF of a windowed block (split-kernel variant): LN1 +
+    pad-mask + fused-QKV + rel-pos attention + proj + residual. The MLP
+    half runs in `fused_mlp_stream` — splitting frees the ~2*C*4C of
+    VMEM-resident MLP weights, the binding constraint on WG inside the
+    batch-2 serving program. ``hd`` is the STORED head width (possibly
+    lane-padded, HDPAD); the model width Cx comes from x_ref."""
+    L = ws * ws
+    C = nh * hd                       # attention width (padded under HDPAD)
+    Cx = x_ref.shape[-1]              # model width
+    WL = WG * L
+    x3 = x_ref[...].astype(jnp.float32)
+    mask3 = _window_pad_mask(nwc, nw, H, W, WG, L, ws)
+
+    mean = jnp.mean(x3, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x3 - mean), axis=-1, keepdims=True)
+    h = ((x3 - mean) * jax.lax.rsqrt(var + eps)
+         * ln1s_ref[0].astype(jnp.float32)
+         + ln1b_ref[0].astype(jnp.float32))
+    h = (h * mask3).astype(o_ref.dtype)
+    qkv = jax.lax.dot_general(
+        h.reshape(WL, Cx), wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) \
+        + bqkv_ref[0].astype(jnp.float32)
+    qkv3 = qkv.astype(o_ref.dtype).reshape(WG, L, 3 * C)
+    attn = _window_attn_all(qkv3, tcat_ref, scratch, nh=nh, hd=hd, ws=ws,
+                            WG=WG, TP=TP, out_dtype=o_ref.dtype,
+                            scale=scale)
+    proj = jax.lax.dot_general(
+        attn.astype(o_ref.dtype).reshape(WL, C), wproj_ref[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32) \
+        + bproj_ref[0].astype(jnp.float32)
+    o_ref[...] = (x3.reshape(WL, Cx) + proj).astype(o_ref.dtype).reshape(
+        WG, L, Cx)
+
+
+def fused_window_attn(xw, ln1, qkv_p, tht, twt, proj_p, size_hw,
+                      num_heads: int, grid_hw, nwc: int, eps: float,
+                      interpret: bool = False):
+    """Split-kernel window attention: same contract as fused_window_block
+    minus the MLP half (returns the post-attention residual stream
+    [NW, ws*ws, C]); follow with fused_mlp_stream. One numerics delta vs
+    the combined kernel: the residual carry materializes in the stream
+    dtype (bf16) between the two kernels — the same place the unfused
+    resident path rounds it."""
+    ws_h, ws_w = size_hw
+    assert ws_h == ws_w
+    ws = ws_h
+    NW, L, C = xw.shape
+    hd = C // num_heads
+    scale = hd ** -0.5
+    H, W = grid_hw
+    nwr = -(-H // ws)
+    nw = nwr * nwc
+    # without MLP weights/temporaries resident the compile and VMEM
+    # pressure drop; WG can run higher than the combined kernel's cap
+    wg_cap = int(os.environ.get("ANYREF_FUSED_WG_SPLIT",
+                                os.environ.get("ANYREF_FUSED_WG", "2")))
+    WG = max(1, min(wg_cap, 5))
+    NWp = -(-NW // WG) * WG
+    if NWp != NW:
+        xw = jnp.pad(xw, ((0, NWp - NW), (0, 0), (0, 0)))
+    wqkv, bqkv = qkv_p["w"], qkv_p["b"]
+    wproj = proj_p["w"]
+    # HDPAD: zero-pad each head's stored width to the 128-lane boundary so
+    # every per-head slice inside the kernel is lane-ALIGNED (hd=80 puts
+    # head h's q/k/v at lane offset 80h mod 128 — each misaligned slice
+    # costs a relayout). The padding is free-correct: padded q/k lanes are
+    # zero on both sides of the score contraction, padded v lanes produce
+    # zero outputs that hit zero proj rows. Cost: the qkv/proj GEMMs grow
+    # hd->hdp (x1.6 FLOPs at SAM-H) — the tradeoff this knob measures.
+    if (os.environ.get("ANYREF_FUSED_HDPAD") == "1" and hd % 128
+            and hd < 128):
+        hdp = 128
+        wqkv = jnp.pad(wqkv.reshape(C, 3, num_heads, hd),
+                       ((0, 0), (0, 0), (0, 0), (0, hdp - hd))
+                       ).reshape(C, 3 * num_heads * hdp)
+        bqkv = jnp.pad(bqkv.reshape(3, num_heads, hd),
+                       ((0, 0), (0, 0), (0, hdp - hd))).reshape(-1)
+        wproj = jnp.pad(wproj.reshape(num_heads, hd, C),
+                        ((0, 0), (0, hdp - hd), (0, 0))
+                        ).reshape(num_heads * hdp, C)
+        tht = jnp.pad(tht, ((0, 0), (0, hdp - hd)))
+        twt = jnp.pad(twt, ((0, 0), (0, hdp - hd)))
+        hd_s = hdp
+    else:
+        hd_s = hd
+    Ca = num_heads * hd_s
+    TP = -(-L // 16) * 16
+    tcat = jnp.zeros((TP + L, hd_s), tht.dtype)
+    tcat = tcat.at[:L].set(tht).at[TP:TP + L].set(twt)
+    kernel = functools.partial(
+        _fused_window_attn_kernel, eps=eps, nh=num_heads, hd=hd_s, ws=ws,
+        nwc=nwc, nw=nw, H=H, W=W, WG=WG, TP=TP, scale=scale)
+    const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape))  # noqa: E731
+    esz = jnp.dtype(xw.dtype).itemsize
+    WL = WG * L
+    weight_bytes = (C * 3 * Ca + Ca * C) * esz
+    vmem_budget = int(weight_bytes + 4 * WL * C * esz
+                      + (WL * 3 * Ca + WL * C + 4 * L * L) * 4
+                      + (WL * 4 * Ca) * esz
+                      + (8 << 20))
+    out = pl.pallas_call(
+        kernel,
+        grid=(NWp // WG,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_budget, 120 << 20)),
+        in_specs=[
+            pl.BlockSpec((WG, L, C), lambda b: (b, 0, 0)),
+            const((1, C)), const((1, C)),
+            const((C, 3 * Ca)), const((1, 3 * Ca)),
+            const((TP + L, hd_s)),
+            const((Ca, C)), const((1, C)),
+        ],
+        out_specs=pl.BlockSpec((WG, L, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NWp, L, C), xw.dtype),
+        scratch_shapes=([pltpu.VMEM((WG, L, 3 * Ca), xw.dtype),
+                         pltpu.VMEM((WG, L, Ca), xw.dtype)]
+                        if WG > 1 else []),
+        interpret=interpret,
+    )(xw, ln1["scale"].reshape(1, C), ln1["bias"].reshape(1, C),
+      wqkv, bqkv.reshape(1, 3 * Ca), tcat,
+      wproj, proj_p["b"].reshape(1, C))
+    return out[:NW] if NWp != NW else out
+
+
+def _mlp_stream_kernel(x_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+                       b2_ref, o_ref, *, eps: float, MC: int):
+    """LN2 + MLP + residual over an [RB, C] row block; MLP/LN weights
+    VMEM-resident across the whole row grid."""
+    x = x_ref[...].astype(jnp.float32)                     # [RB, C]
+    RB, C = x.shape
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    h = ((x - mean) * jax.lax.rsqrt(var + eps)
+         * ln2s_ref[0].astype(jnp.float32)
+         + ln2b_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+    mlp_dim = w1_ref.shape[1]
+    acc = jnp.broadcast_to(b2_ref[0].astype(jnp.float32), (RB, C))
+    for c0 in range(0, mlp_dim, MC):
+        m1c = jax.lax.dot_general(
+            h, w1_ref[:, c0:c0 + MC], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) \
+            + b1_ref[0, c0:c0 + MC].astype(jnp.float32)
+        m1c = _gelu_exact(m1c).astype(o_ref.dtype)
+        acc = acc + jax.lax.dot_general(
+            m1c, w2_ref[c0:c0 + MC, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[...] = (x + acc).astype(o_ref.dtype)
+
+
+def fused_mlp_stream(x, ln2, mlp1_p, mlp2_p, eps: float,
+                     interpret: bool = False):
+    """LN + GELU-MLP + residual over a flat token stream [N, C] — the MLP
+    half of the split windowed block. A pure row-blocked GEMM kernel: the
+    row grid is window-structure-free, so M runs at RB=512 (vs the
+    combined kernel's WG*196) and MXU utilization is shape-optimal."""
+    N, C = x.shape
+    mlp_dim = mlp1_p["w"].shape[1]
+    RB = int(os.environ.get("ANYREF_FUSED_MLP_RB", "512"))
+    Np = -(-N // RB) * RB
+    xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
+    mc_cap = int(os.environ.get("ANYREF_FUSED_MLP_CHUNK", "1280"))
+    MC = mc_cap if 0 < mc_cap < mlp_dim and mlp_dim % mc_cap == 0 \
+        else mlp_dim
+    kernel = functools.partial(_mlp_stream_kernel, eps=eps, MC=MC)
+    const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape))  # noqa: E731
+    esz = jnp.dtype(x.dtype).itemsize
+    weight_bytes = (C * mlp_dim + mlp_dim * C) * esz
+    vmem_budget = int(weight_bytes + 4 * RB * C * esz
+                      + (2 * RB * MC + 2 * RB * C) * 4 + (8 << 20))
+    out = pl.pallas_call(
+        kernel,
+        grid=(Np // RB,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_budget, 120 << 20)),
+        in_specs=[
+            pl.BlockSpec((RB, C), lambda b: (b, 0)),
+            const((1, C)), const((1, C)),
+            const((C, mlp_dim)), const((1, mlp_dim)),
+            const((mlp_dim, C)), const((1, C)),
+        ],
+        out_specs=pl.BlockSpec((RB, C), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, C), x.dtype),
+        interpret=interpret,
+    )(xp, ln2["scale"].reshape(1, C), ln2["bias"].reshape(1, C),
+      mlp1_p["w"], mlp1_p["b"].reshape(1, mlp_dim),
+      mlp2_p["w"], mlp2_p["b"].reshape(1, C))
+    return out[:N] if Np != N else out
 
 
 def _fused_global_tail_kernel(x_ref, q_ref, kv_ref, rht_ref, rwt_ref,

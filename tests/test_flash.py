@@ -256,18 +256,28 @@ def test_relpos_qkv_kernel_matches_split_path():
     np.testing.assert_allclose(np.asarray(got), want, **tol(2e-4))
 
 
-@pytest.mark.parametrize("wg,mlp_chunk", [
-    ("1", None), ("3", "256"), ("4", "128")])  # wg=4: NW=18 pads to 20
+@pytest.mark.parametrize("wg,mlp_chunk,split,hdpad", [
+    ("1", None, False, False), ("3", "256", False, False),
+    ("4", "128", False, False),        # wg=4: NW=18 pads to 20
+    ("1", None, True, False), ("3", "256", True, False),
+    ("3", None, True, True)])          # lane-padded head width (HDPAD)
 def test_fused_window_block_matches_resident_oracle(monkeypatch, wg,
-                                                    mlp_chunk):
+                                                    mlp_chunk, split,
+                                                    hdpad):
     """The whole-layer fused window kernel (LN1+mask+QKV+relpos attention+
     proj+residual+LN2+MLP) must equal the unfused resident path, including
     in-kernel pad-mask computation on overhanging edge windows. wg=3
     exercises the fori_loop-over-windows path (merged-row GEMMs with
     per-window attention iteration); mlp_chunk forces the column-chunked
-    MLP (fp32 partial-sum accumulation) the 7B shapes use by default."""
+    MLP (fp32 partial-sum accumulation) the 7B shapes use by default;
+    split=True runs the two-kernel variant (fused_window_attn +
+    fused_mlp_stream, ANYREF_FUSED_SPLIT=1)."""
     monkeypatch.setenv("ANYREF_QKV_WINDOW_KERNEL", "0")
     monkeypatch.setenv("ANYREF_FUSED_WG", wg)
+    if split:
+        monkeypatch.setenv("ANYREF_FUSED_SPLIT", "1")
+    if hdpad:
+        monkeypatch.setenv("ANYREF_FUSED_HDPAD", "1")
     if mlp_chunk is not None:
         monkeypatch.setenv("ANYREF_FUSED_MLP_CHUNK", mlp_chunk)
     from anyref_tpu.config import SamConfig

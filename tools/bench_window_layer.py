@@ -79,8 +79,14 @@ def main():
         run("resident",
             lambda z: enc._block_windowed_resident(p, z, mask, cfg))
     if mode in ("both", "fused"):
+        os.environ.pop("ANYREF_FUSED_SPLIT", None)
         run("fused", lambda z: enc._fused_window_layer(
             p, z.reshape(NW, L, C), cfg, (H, W), nwc).reshape(z.shape))
+    if mode in ("both", "split"):
+        os.environ["ANYREF_FUSED_SPLIT"] = "1"
+        run("split", lambda z: enc._fused_window_layer(
+            p, z.reshape(NW, L, C), cfg, (H, W), nwc).reshape(z.shape))
+        os.environ.pop("ANYREF_FUSED_SPLIT", None)
 
 
 if __name__ == "__main__":
