@@ -222,11 +222,14 @@ def _fused_window_layer(p, xw: jax.Array, cfg: SamConfig,
     tht = _get_rel_pos_table(ws, p["attn"]["rel_pos_h"]).reshape(ws * ws, -1)
     twt = _get_rel_pos_table(ws, p["attn"]["rel_pos_w"]).reshape(ws * ws, -1)
     interp = jax.default_backend() != "tpu"
-    if os.environ.get("ANYREF_FUSED_SPLIT") == "1":
-        # split variant: attention and MLP as two pipelined kernels. Frees
-        # the MLP weights from the attention kernel's VMEM budget (the WG
-        # constraint) and runs the MLP as a window-structure-free row-
-        # blocked GEMM stream at shape-optimal M.
+    if os.environ.get("ANYREF_FUSED_SPLIT", "1") == "1":
+        # split variant (DEFAULT, r4): attention and MLP as two pipelined
+        # kernels. Frees the MLP weights from the attention kernel's VMEM
+        # budget (the WG constraint) and runs the MLP as a window-structure-
+        # free row-blocked GEMM stream at shape-optimal M. Same-window A/B
+        # vs the combined kernel (7 interleaved rounds, healthy chip):
+        # 2.88 vs 3.03 ms/layer standalone, e2e 7.41 vs 7.36 q/s.
+        # ANYREF_FUSED_SPLIT=0 restores the combined whole-layer kernel.
         NW, L, C = xw.shape
         x1 = _flash.fused_window_attn(
             xw, p["norm1"], p["attn"]["qkv"], tht, twt, p["attn"]["proj"],

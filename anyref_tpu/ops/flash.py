@@ -934,9 +934,12 @@ def fused_window_attn(xw, ln1, qkv_p, tht, twt, proj_p, size_hw,
     nwr = -(-H // ws)
     nw = nwr * nwc
     # without MLP weights/temporaries resident the compile and VMEM
-    # pressure drop; WG can run higher than the combined kernel's cap
+    # pressure drop; WG CAN run higher than the combined kernel's cap, but
+    # the r4 same-window sweep measured WG=1 fastest for this kernel
+    # (2.88 / 2.97 / 2.91 ms/layer at WG 1/2/4 — the fori_loop's VMEM
+    # scratch staging costs more than cross-window pipelining buys)
     wg_cap = int(os.environ.get("ANYREF_FUSED_WG_SPLIT",
-                                os.environ.get("ANYREF_FUSED_WG", "2")))
+                                os.environ.get("ANYREF_FUSED_WG", "1")))
     WG = max(1, min(wg_cap, 5))
     NWp = -(-NW // WG) * WG
     if NWp != NW:

@@ -274,8 +274,9 @@ def test_fused_window_block_matches_resident_oracle(monkeypatch, wg,
     fused_mlp_stream, ANYREF_FUSED_SPLIT=1)."""
     monkeypatch.setenv("ANYREF_QKV_WINDOW_KERNEL", "0")
     monkeypatch.setenv("ANYREF_FUSED_WG", wg)
-    if split:
-        monkeypatch.setenv("ANYREF_FUSED_SPLIT", "1")
+    # split defaults ON (r4) — pin it both ways so the combined-kernel rows
+    # keep covering the combined kernel
+    monkeypatch.setenv("ANYREF_FUSED_SPLIT", "1" if split else "0")
     if hdpad:
         monkeypatch.setenv("ANYREF_FUSED_HDPAD", "1")
     if mlp_chunk is not None:

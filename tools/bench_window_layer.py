@@ -79,9 +79,10 @@ def main():
         run("resident",
             lambda z: enc._block_windowed_resident(p, z, mask, cfg))
     if mode in ("both", "fused"):
-        os.environ.pop("ANYREF_FUSED_SPLIT", None)
+        os.environ["ANYREF_FUSED_SPLIT"] = "0"   # split is the r4 default
         run("fused", lambda z: enc._fused_window_layer(
             p, z.reshape(NW, L, C), cfg, (H, W), nwc).reshape(z.shape))
+        os.environ.pop("ANYREF_FUSED_SPLIT", None)
     if mode in ("both", "split"):
         os.environ["ANYREF_FUSED_SPLIT"] = "1"
         run("split", lambda z: enc._fused_window_layer(
