@@ -47,7 +47,15 @@ class Predictor:
         # bucket (pad with dummy rows) so a serving queue never triggers a
         # fresh compile per distinct batch size.
         leaves = jax.tree.leaves(params)
-        if leaves and not isinstance(leaves[0], jax.Array):
+        needs_put = bool(leaves) and not isinstance(leaves[0], jax.Array)
+        # drop the flat leaf list NOW: it strong-references every original
+        # weight, and holding it across the serving-layout conversion below
+        # would pin the untransposed 13 GiB decoder alive while the
+        # transposed copy is built -> RESOURCE_EXHAUSTED at 7B on a 16 GiB
+        # chip (the conversion frees weight-by-weight precisely so peak HBM
+        # stays within one extra projection)
+        del leaves
+        if needs_put:
             # checkpoint-loaded trees arrive as HOST numpy (load_params's
             # topology-independent restore); commit once, or jit re-uploads
             # the full weight tree on EVERY predict call (~15 GB/query at 7B)

@@ -46,3 +46,47 @@ def test_batched_predictor_matches_single():
         else:
             np.testing.assert_allclose(masks_b[i], masks_s[0],
                                        rtol=5e-3, atol=5e-3)
+
+
+def test_predictor_frees_originals_during_serving_conversion():
+    """The serving-layout conversion frees each untransposed weight as it
+    goes so peak HBM stays within one extra projection (llama.py:83-85).
+    Predictor.__init__ must not hold a flat leaf list (or any other strong
+    reference) across that conversion: at 7B the pinned originals are the
+    whole 13 GiB decoder, and the transpose RESOURCE_EXHAUSTs a 16 GiB chip
+    (observed on v5e; this guards the fix)."""
+    import gc
+    import weakref
+
+    from anyref_tpu.models import llama as llama_mod
+
+    params = anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
+    refs = []
+    for layer in params["llama"]["layers"]:
+        for grp in ("attn", "mlp"):
+            for k in layer[grp]:
+                if "w" in layer[grp][k]:
+                    refs.append(weakref.ref(layer[grp][k]["w"]))
+    assert refs
+
+    real = llama_mod.transpose_for_serving
+    alive_after = {}
+
+    def wrapped(p):
+        out = real(p)
+        # still INSIDE Predictor.__init__: any constructor-local strong
+        # reference (e.g. a jax.tree.leaves list) keeps these alive here
+        gc.collect()
+        alive_after["n"] = sum(r() is not None for r in refs)
+        return out
+
+    llama_mod.transpose_for_serving = wrapped
+    try:
+        Predictor(params, CFG, speculative=True, max_new_tokens=4)
+    finally:
+        llama_mod.transpose_for_serving = real
+
+    assert alive_after["n"] == 0, (
+        f"{alive_after['n']}/{len(refs)} original decoder weights still "
+        "alive during the serving conversion - Predictor.__init__ is "
+        "pinning them")
