@@ -68,14 +68,40 @@ def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return x.astype(orig_dtype)
 
 
+@functools.lru_cache(maxsize=512)
+def _bilinear_taps(in_size: int, out_size: int):
+    """Per-output-pixel 2-tap form of _bilinear_weight_matrix: indices
+    (x0, x1) and weight lam, with lam forced to 0 where the taps coincide
+    (edges) so x0 carries weight exactly 1.0 — the same coefficients the
+    dense matrix holds, just not materialized."""
+    scale = np.float32(in_size) / np.float32(out_size)
+    dst = np.arange(out_size, dtype=np.float32)
+    src = np.maximum(scale * (dst + np.float32(0.5)) - np.float32(0.5),
+                     np.float32(0.0))
+    x0 = np.floor(src).astype(np.int64)
+    x0 = np.minimum(x0, in_size - 1)
+    x1 = np.minimum(x0 + 1, in_size - 1)
+    lam = (src - x0.astype(np.float32)).astype(np.float32)
+    lam[x0 == x1] = 0.0
+    return x0, x1, lam
+
+
 def resize_bilinear_np(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Host-side variant for per-image original-size restoration (dynamic
-    output shapes live outside jit)."""
-    wh = _bilinear_weight_matrix(x.shape[-2], out_h)
-    ww = _bilinear_weight_matrix(x.shape[-1], out_w)
+    """Host-side variant for per-image preprocessing and original-size mask
+    restoration (dynamic output shapes live outside jit).
+
+    Same coefficients as the matmul form, evaluated as a 2-tap gather+lerp:
+    the dense [out, in] matrix has at most two nonzeros per row, and
+    np.einsum does not BLAS-dispatch these shapes — the dense product ran
+    as a naive O(in*out) loop, ~2 Gop and seconds per 1024-canvas image,
+    which starved the serving micro-batcher to ~1-row batches (server bench
+    r4: 0.2 q/s on the path whose device program runs 7+)."""
     x = x.astype(np.float32)
-    x = np.einsum("...hw,vw->...hv", x, ww)
-    x = np.einsum("...hv,uh->...uv", x, wh)
+    x0, x1, lam = _bilinear_taps(x.shape[-1], out_w)
+    x = x[..., x0] * (1.0 - lam) + x[..., x1] * lam
+    y0, y1, mu = _bilinear_taps(x.shape[-2], out_h)
+    mu = mu[:, None]
+    x = x[..., y0, :] * (1.0 - mu) + x[..., y1, :] * mu
     return x
 
 

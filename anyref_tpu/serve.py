@@ -65,13 +65,24 @@ class Server:
         # 16 GiB chip) — the server exercises its own batching by default.
         if speculative is None:
             speculative = True
+        # ONE batch bucket = max_batch: a partial group (queue momentarily
+        # short) rides the full-batch program with padded rows instead of
+        # compiling a second program. Decode is weight-streaming-bound, so
+        # the max_batch program costs about the same as a smaller one
+        # (BASELINE.md verify-chunk costs are flat in rows) — while a fresh
+        # generate compile on device is minutes: one stray batch-1 group
+        # mid-serving stalled the measured server path from ~7 q/s to 0.2.
         self.predictor = Predictor(params, cfg, speculative=speculative,
                                    max_new_tokens=max_new_tokens,
                                    draft_len=draft_len,
-                                   max_accept=max_accept)
+                                   max_accept=max_accept,
+                                   batch_buckets=(max_batch,))
         self.collator = Collator(self.tok, cfg, train=False)
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        # batching efficiency counters (single device thread writes them):
+        # avg rows/batch << max_batch means the micro-batcher is starved
+        self.stats = {"batches": 0, "rows": 0}
         self._helper = SegDataset(cfg)
         self._pre_q: "queue.Queue" = queue.Queue()
         self._run_q: "queue.Queue" = queue.Queue()
@@ -192,6 +203,8 @@ class Server:
                 except queue.Empty:
                     break
             reqs, samples = zip(*group)
+            self.stats["batches"] += 1
+            self.stats["rows"] += len(group)
             try:
                 batch = self.collator(list(samples))
                 output_ids, masks = self.predictor.predict(batch)

@@ -280,6 +280,12 @@ def serve_main():
                                        int(len(lat_ms) * 0.99))], 1),
             "retries": int(os.environ.get("BENCH_RETRIED", "0")),
             "hbm_gbps": round(hbm_gbps),
+            # micro-batcher efficiency: rows/batch near batch_size means the
+            # preprocess threads kept the device loop fed
+            "device_batches": server.stats["batches"],
+            "avg_rows_per_batch": round(
+                server.stats["rows"] / max(1, server.stats["batches"]), 2),
+            "compiled_programs": len(server.predictor._jitted),
         }))
     finally:
         server.shutdown(timeout=10.0)

@@ -81,3 +81,30 @@ def test_shutdown_straggler_preprocess_worker_cannot_strand_request():
     res = req.result(timeout=10)
     assert req._done.is_set(), "request stranded by shutdown"
     assert "error" in res or "text" in res
+
+
+@pytest.mark.slow
+def test_partial_group_reuses_single_compiled_program():
+    """A group smaller than max_batch must ride the max_batch program
+    (padded rows), not compile a second one: a fresh generate compile on a
+    real device is minutes, and one stray batch-1 group mid-serving
+    measured 0.2 q/s on the path that runs 7+ (BASELINE.md server bench)."""
+    cfg = anyref_tiny()
+    params = anyref.init(jax.random.key(0), cfg, dtype=jnp.float32)
+    server = Server(params, cfg, max_batch=2, max_wait_ms=50.0)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (60, 80, 3), np.uint8)
+    try:
+        # sequential submits -> the device loop sees a 1-row group first,
+        # then a 2-row group
+        r1 = server.submit(Request(image=img, text="the cat"))
+        assert "error" not in r1.result(timeout=600)
+        reqs = [server.submit(Request(image=img, text="the cat"))
+                for _ in range(2)]
+        for r in reqs:
+            assert "error" not in r.result(timeout=600)
+        assert len(server.predictor._jitted) == 1, (
+            "partial group compiled a second program: "
+            f"{list(server.predictor._jitted)}")
+    finally:
+        server.shutdown()
