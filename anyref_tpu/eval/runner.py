@@ -111,6 +111,17 @@ class Predictor:
     def predict(self, batch: Dict[str, np.ndarray]):
         """batch: collator output (prompt mode). Returns
         (output_ids [B, mnt], masks: list of [n_seg, H, W] logits or None)."""
+        return self.complete(self.predict_async(batch))
+
+    def predict_async(self, batch: Dict[str, np.ndarray]):
+        """Upload + dispatch only; returns an opaque handle for complete().
+
+        JAX dispatch is async, so the caller can dispatch batch N+1 while
+        N's program runs and its results are fetched — the serving device
+        loop uses this to hide device->host fetch time and the tunnel's
+        slow-dispatch windows (BASELINE.md chip-health section) behind the
+        next program's device time, the same 2-deep pipelining bench.py
+        uses for the device-program metric."""
         plen = int(batch["prompt_lens"].max())
         bucket = self._bucket(plen)
         ids = batch["input_ids"]
@@ -144,7 +155,11 @@ class Predictor:
                 jbatch[k] = jnp.asarray(pad_rows(batch[k]))
         keyset = (bucket, BB, tuple(sorted(jbatch)))
         out = self._fn(keyset)(self.params, self.cfg, jbatch)
+        return out, batch, B
 
+    def complete(self, handle):
+        """Fetch + host postprocess for a predict_async handle."""
+        out, batch, B = handle
         output_ids = np.asarray(out.output_ids)[:B]
         low = np.asarray(out.low_res_masks, np.float32)[:B]
         seg_valid = np.asarray(out.seg_valid)[:B]

@@ -86,6 +86,12 @@ class Server:
         self._helper = SegDataset(cfg)
         self._pre_q: "queue.Queue" = queue.Queue()
         self._run_q: "queue.Queue" = queue.Queue()
+        # dispatched-but-unfetched programs; maxsize bounds in-flight device
+        # programs to 2 (the same dispatch-pipeline depth bench.py uses):
+        # the device loop dispatches batch N+1 while the completion thread
+        # fetches/postprocesses N, hiding fetch time and the tunnel's
+        # slow-dispatch windows behind device time
+        self._fin_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
         # orders submit's stop-check-then-enqueue against shutdown's
         # stop-set-then-drain, so no request can land in _pre_q after the
@@ -94,7 +100,8 @@ class Server:
         self._threads = [
             threading.Thread(target=self._preprocess_loop, daemon=True)
             for _ in range(preprocess_workers)
-        ] + [threading.Thread(target=self._device_loop, daemon=True)]
+        ] + [threading.Thread(target=self._device_loop, daemon=True),
+             threading.Thread(target=self._complete_loop, daemon=True)]
         for t in self._threads:
             t.start()
 
@@ -134,14 +141,18 @@ class Server:
         self._drain()
 
     def _drain(self) -> None:
-        for q in (self._pre_q, self._run_q):
+        for q in (self._pre_q, self._run_q, self._fin_q):
             while True:
                 try:
                     item = q.get_nowait()
                 except queue.Empty:
                     break
-                req = item[0] if isinstance(item, tuple) else item
-                self._finish(req, {"error": "server shut down"})
+                head = item[0] if isinstance(item, tuple) else item
+                # _pre_q holds Requests, _run_q (req, sample) pairs, _fin_q
+                # (reqs, samples, handle) groups — fail every request
+                reqs = head if isinstance(head, (tuple, list)) else [head]
+                for req in reqs:
+                    self._finish(req, {"error": "server shut down"})
 
     @staticmethod
     def _finish(req: Request, result: dict) -> None:
@@ -207,7 +218,34 @@ class Server:
             self.stats["rows"] += len(group)
             try:
                 batch = self.collator(list(samples))
-                output_ids, masks = self.predictor.predict(batch)
+                handle = self.predictor.predict_async(batch)
+            except Exception as e:
+                for req in reqs:
+                    self._finish(req, {"error": str(e)})
+                continue
+            item = (reqs, samples, handle)
+            while not self._stop.is_set():
+                try:
+                    self._fin_q.put(item, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+            else:
+                # shutting down with the completion queue full: fail the
+                # group instead of stranding it
+                for req in reqs:
+                    self._finish(req, {"error": "server shut down"})
+
+    def _complete_loop(self):
+        """Fetch + postprocess + reply for dispatched batches, off the
+        device loop's critical path."""
+        while not self._stop.is_set():
+            try:
+                reqs, samples, handle = self._fin_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                output_ids, masks = self.predictor.complete(handle)
                 for i, req in enumerate(reqs):
                     h, w = samples[i]["height"], samples[i]["width"]
                     text = self.tok.decode(
