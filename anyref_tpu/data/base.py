@@ -11,7 +11,8 @@ import numpy as np
 from PIL import Image
 
 from ..config import AnyRefConfig
-from .preprocess import crop_box_np, preprocess_clip_np, preprocess_sam_np
+from .preprocess import crop_box_np, preprocess_clip_np, \
+    preprocess_clip_u8_np, preprocess_sam_np, preprocess_sam_u8_np
 
 
 def load_image_rgb(path: str) -> np.ndarray:
@@ -23,9 +24,14 @@ class SegDataset:
     """Base: subclasses implement __len__ and _get(index) -> raw record;
     make_sample assembles the collator-ready dict."""
 
-    def __init__(self, cfg: Optional[AnyRefConfig] = None, retry_bad: bool = True):
+    def __init__(self, cfg: Optional[AnyRefConfig] = None, retry_bad: bool = True,
+                 uint8_images: bool = False):
+        # uint8_images: emit clip/sam images as uint8 PIXELS (normalization
+        # deferred to device) — the serving path's host->device transfer is
+        # 4x smaller; eval/training keep the float pipeline
         self.cfg = cfg
         self.retry_bad = retry_bad
+        self.uint8_images = uint8_images
         self._rng = random.Random(0)
 
     def __getitem__(self, index: int) -> dict:
@@ -49,9 +55,14 @@ class SegDataset:
                     **extra) -> dict:
         sam_size = self.cfg.sam.image_size if self.cfg else 1024
         clip_size = self.cfg.clip.image_size if self.cfg else 224
-        sam_image, resized = preprocess_sam_np(image, sam_size)
+        if self.uint8_images:
+            sam_image, resized = preprocess_sam_u8_np(image, sam_size)
+            clip_image = preprocess_clip_u8_np(image, clip_size)
+        else:
+            sam_image, resized = preprocess_sam_np(image, sam_size)
+            clip_image = preprocess_clip_np(image, clip_size)
         sample = {
-            "clip_image": preprocess_clip_np(image, clip_size),
+            "clip_image": clip_image,
             "sam_image": sam_image,
             "sam_resized_size": resized,
             "question": question,

@@ -72,6 +72,47 @@ def preprocess_sam_np(image_rgb_u8: np.ndarray,
     return out, (nh, nw)
 
 
+def preprocess_clip_u8_np(image_rgb_u8: np.ndarray,
+                          size: int = 224) -> np.ndarray:
+    """Serving fast path: [H, W, 3] uint8 -> [3, size, size] uint8 PIXELS.
+
+    Same two resizes as :func:`preprocess_clip_np` but kept in the uint8
+    pixel domain so the host->device transfer ships 4x fewer bytes over the
+    serving tunnel; normalization runs on device
+    (clip_vit.normalize_pixels). Bilinear resize commutes exactly with the
+    per-channel affine normalize (the interpolation weights sum to 1), so
+    the only numeric difference vs the float path is one uint8 quantization
+    after the force-resize — the same quantization the reference pipeline
+    itself incurs at this stage (PIL resize returns uint8,
+    segment_anything/utils/transforms.py:27-34)."""
+    h, w = image_rgb_u8.shape[:2]
+    nh, nw = _shortest_edge_size(h, w, size)
+    if (nh, nw) != (h, w):
+        from PIL import Image
+        im = Image.fromarray(image_rgb_u8).resize((nw, nh), Image.BICUBIC)
+        image_rgb_u8 = np.asarray(im)
+    x = image_rgb_u8.transpose(2, 0, 1)  # [3, nh, nw] uint8
+    if (nh, nw) != (size, size):
+        xf = resize_bilinear_np(x.astype(np.float32), size, size)
+        x = np.clip(np.rint(xf), 0, 255).astype(np.uint8)
+    return x
+
+
+def preprocess_sam_u8_np(image_rgb_u8: np.ndarray,
+                         image_size: int = 1024) -> tuple[np.ndarray, tuple[int, int]]:
+    """Serving fast path: [H, W, 3] uint8 -> ([3, S, S] uint8 PIXEL canvas,
+    (h', w')). Normalize + pad-zeroing run on device
+    (eval/runner._sam_normalize_device); see preprocess_clip_u8_np for the
+    commutation argument."""
+    h, w = image_rgb_u8.shape[:2]
+    nh, nw = get_preprocess_shape(h, w, image_size)
+    x = resize_bilinear_np(
+        image_rgb_u8.astype(np.float32).transpose(2, 0, 1), nh, nw)
+    out = np.zeros((3, image_size, image_size), np.uint8)
+    out[:, :nh, :nw] = np.clip(np.rint(x), 0, 255).astype(np.uint8)
+    return out, (nh, nw)
+
+
 def mask_to_canvas_np(mask: np.ndarray, resized_hw: tuple[int, int],
                       image_size: int = 1024) -> np.ndarray:
     """GT mask [H, W] {0,1} -> float32 [S, S] canvas aligned with the SAM

@@ -20,9 +20,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import AnyRefConfig
-from ..models import anyref
+from ..config import SAM_PIXEL_MEAN, SAM_PIXEL_STD, AnyRefConfig
+from ..models import anyref, clip_vit
 from ..ops.resize import postprocess_low_res_np
+
+
+def _sam_normalize_device(x_u8: jax.Array, resized_sizes: jax.Array):
+    """Device-side half of the uint8 serving path (preprocess_sam_u8_np):
+    normalize uint8 pixels and re-zero the pad region beyond each row's
+    resized extent — exactly the host pipeline's normalize-then-pad order
+    (reference segment_anything/modeling/sam.py preprocess)."""
+    S = x_u8.shape[-1]
+    mean = jnp.asarray(SAM_PIXEL_MEAN, jnp.float32).reshape(1, 3, 1, 1)
+    std = jnp.asarray(SAM_PIXEL_STD, jnp.float32).reshape(1, 3, 1, 1)
+    x = (x_u8.astype(jnp.float32) - mean) / std
+    nh = resized_sizes[:, 0].reshape(-1, 1, 1, 1)
+    nw = resized_sizes[:, 1].reshape(-1, 1, 1, 1)
+    row = jnp.arange(S).reshape(1, 1, S, 1)
+    col = jnp.arange(S).reshape(1, 1, 1, S)
+    return jnp.where((row < nh) & (col < nw), x, 0.0)
 
 
 def _single_device(params) -> bool:
@@ -41,7 +57,8 @@ class Predictor:
                  batch_buckets=(1, 2, 4, 8),
                  speculative: bool = False,
                  draft_len: Optional[int] = None,
-                 max_accept: Optional[int] = None):
+                 max_accept: Optional[int] = None,
+                 mask_fetch_dtype: str = "float32"):
         # buckets = 1 (mod 128): +255 image expansion lands prefill on
         # flash-aligned lengths (384/448/512/640/768). Batch sizes also
         # bucket (pad with dummy rows) so a serving queue never triggers a
@@ -71,6 +88,11 @@ class Predictor:
         # sweep runs through the same serving machinery it measures
         self.draft_len = draft_len
         self.max_accept = max_accept
+        # serving sets bfloat16: halves the device->host mask readback on the
+        # tunnel (the host postprocess upcasts; one bf16 ulp ~0.03 on the
+        # logit scale, far inside the sigmoid>0.5 decision margin). Eval
+        # keeps float32 so metric numerics are unchanged.
+        self.mask_fetch_dtype = jnp.dtype(mask_fetch_dtype)
         if speculative and _single_device(params):
             # Serving-layout conversion (transposed + fused decoder weights)
             # CONSUMES the caller's param tree: it rewrites the nested layer
@@ -96,10 +118,32 @@ class Predictor:
                 kw["draft_len"] = self.draft_len
             if spec and self.max_accept is not None:
                 kw["max_accept"] = self.max_accept
-            self._jitted[keyset] = jax.jit(
-                functools.partial(anyref.generate, max_new_tokens=self.mnt,
-                                  speculative=spec, **kw),
-                static_argnums=(1,))
+            low_dtype = self.mask_fetch_dtype
+
+            def run(params, cfg, batch):
+                # uint8 images (serving fast path): normalize on device —
+                # dtype checks are static under jit, so the float pipeline
+                # compiles to exactly the pre-existing program
+                batch = dict(batch)
+                rs = batch.pop("sam_resized_sizes", None)
+                if batch["sam_images"].dtype == jnp.uint8:
+                    batch["sam_images"] = _sam_normalize_device(
+                        batch["sam_images"], rs)
+                for k in ("clip_images", "ref_images"):
+                    if k in batch and batch[k].dtype == jnp.uint8:
+                        batch[k] = clip_vit.normalize_pixels(
+                            batch[k].astype(jnp.float32))
+                out = anyref.generate(params, cfg, batch,
+                                      max_new_tokens=self.mnt,
+                                      speculative=spec, **kw)
+                # return ONLY what complete() fetches: XLA dead-code
+                # eliminates the rest, and the d2h mask readback can ride
+                # the tunnel at the caller-chosen precision
+                return (out.output_ids,
+                        out.low_res_masks.astype(low_dtype),
+                        out.seg_valid)
+
+            self._jitted[keyset] = jax.jit(run, static_argnums=(1,))
         return self._jitted[keyset]
 
     def _bucket(self, n: int) -> int:
@@ -153,16 +197,22 @@ class Predictor:
                   "roi_boxes"):
             if k in batch:
                 jbatch[k] = jnp.asarray(pad_rows(batch[k]))
-        keyset = (bucket, BB, tuple(sorted(jbatch)))
+        if batch["sam_images"].dtype == np.uint8:
+            # device-side normalize needs each row's valid extent to re-zero
+            # the pad region (host normalize-then-pad order)
+            jbatch["sam_resized_sizes"] = jnp.asarray(
+                pad_rows(np.asarray(batch["sam_resized_sizes"], np.int32)))
+        keyset = (bucket, BB,
+                  tuple(sorted((k, str(v.dtype)) for k, v in jbatch.items())))
         out = self._fn(keyset)(self.params, self.cfg, jbatch)
         return out, batch, B
 
     def complete(self, handle):
         """Fetch + host postprocess for a predict_async handle."""
-        out, batch, B = handle
-        output_ids = np.asarray(out.output_ids)[:B]
-        low = np.asarray(out.low_res_masks, np.float32)[:B]
-        seg_valid = np.asarray(out.seg_valid)[:B]
+        (out_ids, low_res, seg), batch, B = handle
+        output_ids = np.asarray(out_ids)[:B]
+        low = np.asarray(low_res).astype(np.float32)[:B]
+        seg_valid = np.asarray(seg)[:B]
         masks: List[Optional[np.ndarray]] = []
         for b in range(low.shape[0]):
             n = int(seg_valid[b].sum())

@@ -72,18 +72,34 @@ class Server:
         # (BASELINE.md verify-chunk costs are flat in rows) — while a fresh
         # generate compile on device is minutes: one stray batch-1 group
         # mid-serving stalled the measured server path from ~7 q/s to 0.2.
+        # mask_fetch_dtype bf16: halves the per-batch device->host mask
+        # readback (tunnel-bound at ~30 MB/s on axon; measured 133 ms for a
+        # batch-2 f32 fetch) — one bf16 ulp is ~0.03 on the logit scale,
+        # inside the sigmoid>0.5 margin
         self.predictor = Predictor(params, cfg, speculative=speculative,
                                    max_new_tokens=max_new_tokens,
                                    draft_len=draft_len,
                                    max_accept=max_accept,
-                                   batch_buckets=(max_batch,))
+                                   batch_buckets=(max_batch,),
+                                   mask_fetch_dtype="bfloat16")
         self.collator = Collator(self.tok, cfg, train=False)
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         # batching efficiency counters (single device thread writes them):
-        # avg rows/batch << max_batch means the micro-batcher is starved
-        self.stats = {"batches": 0, "rows": 0}
-        self._helper = SegDataset(cfg)
+        # avg rows/batch << max_batch means the micro-batcher is starved.
+        # *_ms sums are per-stage wall time for throughput diagnosis:
+        # wait (device loop idle for first sample), group (micro-batch
+        # window), collate, dispatch (host->device upload + program enqueue),
+        # fetch (device->host readback incl. device time not yet elapsed),
+        # post (host mask postprocess + decode)
+        self.stats = {"batches": 0, "rows": 0, "wait_ms": 0.0,
+                      "group_ms": 0.0, "collate_ms": 0.0, "dispatch_ms": 0.0,
+                      "fetch_ms": 0.0, "post_ms": 0.0}
+        # uint8 image I/O: preprocess threads emit uint8 PIXEL canvases and
+        # the device normalizes — cuts the per-batch host->device upload 4x
+        # (f32 images measured ~800 ms/batch-2 over the ~30 MB/s serving
+        # tunnel, wiping out the device program's 360 ms)
+        self._helper = SegDataset(cfg, uint8_images=True)
         self._pre_q: "queue.Queue" = queue.Queue()
         self._run_q: "queue.Queue" = queue.Queue()
         # dispatched-but-unfetched programs; maxsize bounds in-flight device
@@ -199,12 +215,14 @@ class Server:
 
     def _device_loop(self):
         while not self._stop.is_set():
+            t0 = time.time()
             try:
                 first = self._run_q.get(timeout=0.1)
             except queue.Empty:
                 continue
+            t1 = time.time()
             group = [first]
-            deadline = time.time() + self.max_wait
+            deadline = t1 + self.max_wait
             while len(group) < self.max_batch:
                 remaining = deadline - time.time()
                 if remaining <= 0:
@@ -213,12 +231,18 @@ class Server:
                     group.append(self._run_q.get(timeout=remaining))
                 except queue.Empty:
                     break
+            t2 = time.time()
             reqs, samples = zip(*group)
             self.stats["batches"] += 1
             self.stats["rows"] += len(group)
+            self.stats["wait_ms"] += (t1 - t0) * 1e3
+            self.stats["group_ms"] += (t2 - t1) * 1e3
             try:
                 batch = self.collator(list(samples))
+                t3 = time.time()
+                self.stats["collate_ms"] += (t3 - t2) * 1e3
                 handle = self.predictor.predict_async(batch)
+                self.stats["dispatch_ms"] += (time.time() - t3) * 1e3
             except Exception as e:
                 for req in reqs:
                     self._finish(req, {"error": str(e)})
@@ -245,7 +269,10 @@ class Server:
             except queue.Empty:
                 continue
             try:
+                t0 = time.time()
                 output_ids, masks = self.predictor.complete(handle)
+                self.stats["fetch_ms"] += (time.time() - t0) * 1e3
+                t0 = time.time()
                 for i, req in enumerate(reqs):
                     h, w = samples[i]["height"], samples[i]["width"]
                     text = self.tok.decode(
@@ -256,6 +283,7 @@ class Server:
                         "mask": binary_mask(masks[i], h, w),
                         "mask_logits": masks[i],
                     })
+                self.stats["post_ms"] += (time.time() - t0) * 1e3
             except Exception as e:
                 for req in reqs:
                     self._finish(req, {"error": str(e)})
