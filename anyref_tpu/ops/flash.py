@@ -938,8 +938,10 @@ def fused_window_attn(xw, ln1, qkv_p, tht, twt, proj_p, size_hw,
     # the r4 same-window sweep measured WG=1 fastest for this kernel
     # (2.88 / 2.97 / 2.91 ms/layer at WG 1/2/4 — the fori_loop's VMEM
     # scratch staging costs more than cross-window pipelining buys)
-    wg_cap = int(os.environ.get("ANYREF_FUSED_WG_SPLIT",
-                                os.environ.get("ANYREF_FUSED_WG", "1")))
+    # independent knob from the combined kernel's ANYREF_FUSED_WG (default
+    # 2 there): the r4 sweep measured the SPLIT kernel slower at WG>1, so
+    # tuning the combined kernel must not silently retune this one
+    wg_cap = int(os.environ.get("ANYREF_FUSED_WG_SPLIT", "1"))
     WG = max(1, min(wg_cap, 5))
     NWp = -(-NW // WG) * WG
     if NWp != NW:

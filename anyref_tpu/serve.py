@@ -172,6 +172,13 @@ class Server:
 
     @staticmethod
     def _finish(req: Request, result: dict) -> None:
+        # idempotent: a group-level error path (e.g. postprocess throwing on
+        # row 2 of a batch) fails the WHOLE group, including rows already
+        # finished — without this guard row 1's result would be overwritten
+        # and its callback fired twice (double semaphore release in
+        # bench.py's open-loop feeder; ADVICE r4)
+        if req._done.is_set():
+            return
         req._result = result
         req._done.set()
         if req.callback is not None:
@@ -215,11 +222,18 @@ class Server:
 
     def _device_loop(self):
         while not self._stop.is_set():
+            # t0 set ONCE per idle period: the 0.1 s get timeout retries on
+            # Empty inside the inner loop, so wait_ms spans the WHOLE idle
+            # stretch rather than only its final sub-100 ms slice (ADVICE r4)
             t0 = time.time()
-            try:
-                first = self._run_q.get(timeout=0.1)
-            except queue.Empty:
-                continue
+            first = None
+            while first is None and not self._stop.is_set():
+                try:
+                    first = self._run_q.get(timeout=0.1)
+                except queue.Empty:
+                    pass
+            if first is None:
+                break
             t1 = time.time()
             group = [first]
             deadline = t1 + self.max_wait
@@ -285,5 +299,7 @@ class Server:
                     })
                 self.stats["post_ms"] += (time.time() - t0) * 1e3
             except Exception as e:
+                # _finish is idempotent, so rows already completed before
+                # the failure keep their results; only the rest see the error
                 for req in reqs:
                     self._finish(req, {"error": str(e)})

@@ -184,12 +184,23 @@ class SentencePieceModel:
                 back[i + 1] = (i, -1)           # -1: fallback marker
         ids: List[int] = []
         j = n
+        prev_was_unk = False
         while j > 0:
             i, pid = back[j]
             if pid < 0:
-                ids[:0] = self._fallback(text[i:j])
+                # sentencepiece merges CONSECUTIVE unknown chars into ONE
+                # unk token when byte_fallback is off (unigram_model.cc
+                # aggregates the unk span); with byte_fallback each char
+                # still expands to its own byte pieces. The backtrace walks
+                # right-to-left, so adjacent fallback spans are adjacent
+                # iterations — skip the extra unk ids (ADVICE r4).
+                if not (prev_was_unk and not (self.byte_fallback
+                                              and self.byte_ids)):
+                    ids[:0] = self._fallback(text[i:j])
+                prev_was_unk = True
             else:
                 ids.insert(0, pid)
+                prev_was_unk = False
             j = i
         return ids
 

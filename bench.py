@@ -223,18 +223,30 @@ def serve_main():
             res = r.result(timeout=900)
             if "error" in res:
                 raise RuntimeError(f"warmup failed: {res['error']}")
+        # zero the stage counters: the warmup batch's dispatch_ms holds the
+        # one-time jit COMPILE (~100 s — jax compiles inside the first
+        # call), which would swamp the steady-state per-stage numbers
+        for k in server.stats:
+            server.stats[k] = 0 if k in ("batches", "rows") else 0.0
 
         import threading
         done = threading.Event()
         lat_ms = []
         remaining = [n_queries]
+        n_errors = [0]
         lock = threading.Lock()
         t0 = time.time()
 
         def on_done(t_submit):
             def cb(result):
                 with lock:
-                    lat_ms.append((time.time() - t_submit) * 1e3)
+                    if "error" in result:
+                        # errors must be LOUD: counting them as completed
+                        # quietly inflates q/s and pollutes the latency
+                        # percentiles (ADVICE r4)
+                        n_errors[0] += 1
+                    else:
+                        lat_ms.append((time.time() - t_submit) * 1e3)
                     remaining[0] -= 1
                     if remaining[0] == 0:
                         done.set()
@@ -264,8 +276,15 @@ def serve_main():
             raise RuntimeError(f"server bench timed out with "
                                f"{remaining[0]} requests pending")
         dt = time.time() - t0
+        if n_errors[0]:
+            raise RuntimeError(f"{n_errors[0]}/{n_queries} requests errored")
         qps = n_queries / dt
         lat_ms.sort()
+        # per-stage device-loop wall time, ms/query: the throughput
+        # diagnosis the VERDICT asked to be RECORDED, not just counted
+        nq = max(1, server.stats["rows"])
+        stages = {f"stage_{k[:-3]}_ms_per_query": round(v / nq, 1)
+                  for k, v in server.stats.items() if k.endswith("_ms")}
         print(json.dumps({
             "metric": (f"server_queries_per_sec_per_chip[{preset},"
                        f"decode{decode_tokens},batch{batch_size}"
@@ -278,6 +297,7 @@ def serve_main():
             "p50_ms": round(lat_ms[len(lat_ms) // 2], 1),
             "p99_ms": round(lat_ms[min(len(lat_ms) - 1,
                                        int(len(lat_ms) * 0.99))], 1),
+            "n_errors": n_errors[0],
             "retries": int(os.environ.get("BENCH_RETRIED", "0")),
             "hbm_gbps": round(hbm_gbps),
             # micro-batcher efficiency: rows/batch near batch_size means the
@@ -286,6 +306,7 @@ def serve_main():
             "avg_rows_per_batch": round(
                 server.stats["rows"] / max(1, server.stats["batches"]), 2),
             "compiled_programs": len(server.predictor._jitted),
+            **stages,
         }))
     finally:
         server.shutdown(timeout=10.0)

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""AOT-compile the TP-2 batch-4 SERVING program — the documented recovery
+lever for the single-chip batch-4 memory wall (VERDICT r4 #5).
+
+BASELINE.md's batch-4 analysis proved batch 4 cannot fit one 16 GiB chip
+(weights 14.4 G resident + ~0.9 G extra cache/activations vs 120 MB
+headroom) and inferred "batch >=4 needs TP>=2". This tool turns that
+inference into a verified statement: it lowers + compiles anyref.generate
+at batch 4 with the decoder Megatron-sharded over a model=2 mesh (the
+Predictor's multi-device path: plain layout, llama.decode_chunk handles
+both), and records per-device resident weight bytes plus the compiled
+temp/output sizes.
+
+Runs on a 2-device virtual CPU mesh (the same self-provisioning subprocess
+trick as __graft_entry__.dryrun_multichip) because only one physical TPU
+chip is attached; XLA partitioning/layout correctness is backend-independent
+at this level, and per-device WEIGHT bytes are analytic (shape/spec math).
+Projected q/s is derived in BASELINE.md from the measured single-chip stage
+costs, not from this tool.
+
+Usage: python tools/aot_tp2.py [AOT_TP2_r05.json]
+"""
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _impl():
+    import functools
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as g
+    from anyref_tpu.config import anyref_7b
+    from anyref_tpu.models import anyref
+    from anyref_tpu.parallel import partition
+    from anyref_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    batch = int(os.environ.get("AOT_TP2_BATCH", "4"))
+    decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
+    cfg = anyref_7b()
+    isnone = lambda x: x is None  # noqa: E731
+
+    tp_mesh = make_mesh(data=1, model=2)
+    params_abs = jax.eval_shape(
+        lambda k: anyref.init(k, cfg, dtype=jnp.bfloat16), jax.random.key(0))
+    pspec = partition.anyref_spec(params_abs, cfg)
+
+    def put_spec(abs_tree, spec_tree):
+        return jax.tree.map(
+            lambda x, s: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=NamedSharding(tp_mesh, s))
+            if x is not None else None,
+            abs_tree, spec_tree, is_leaf=isnone)
+
+    import bench
+    batch_data = jax.eval_shape(
+        lambda: bench.make_batch(cfg, batch_size=batch))
+    batch_abs = {k: jax.ShapeDtypeStruct(
+        v.shape, v.dtype, sharding=NamedSharding(tp_mesh, P(DATA_AXIS)))
+        for k, v in batch_data.items()}
+
+    # the Predictor's sharded serving path: speculative lockstep generate on
+    # the PLAIN weight layout (fuse/transpose_for_serving is single-device
+    # only — eval/runner.py:96-108)
+    def run(params, cfg_, b):
+        out = anyref.generate(params, cfg_, b, max_new_tokens=decode_tokens,
+                              speculative=True, draft_len=15, max_accept=8)
+        return (out.output_ids, out.decode_passes,
+                out.low_res_masks[:, :1].astype(jnp.bfloat16))
+
+    lowered = jax.jit(run, static_argnums=(1,)).lower(
+        put_spec(params_abs, pspec), cfg, batch_abs)
+    compiled = lowered.compile()
+
+    weights_per_dev = g._sharded_bytes(params_abs, pspec, tp_mesh)
+    ma = compiled.memory_analysis()
+    gib = 1 << 30
+    # memory_analysis on the virtual CPU mesh reports per-device temp/output
+    # for the partitioned program; argument bytes come from the analytic
+    # spec math (authoritative for weights)
+    rec = {
+        "metric": "aot_tp2_serving",
+        "value": 1.0,
+        "unit": "pass",
+        "mesh": {"data": 1, "model": 2},
+        "batch": batch,
+        "decode_tokens": decode_tokens,
+        "weights_gib_per_device": round(weights_per_dev / gib, 3),
+        "temp_gib_per_device": round(ma.temp_size_in_bytes / gib, 3),
+        "output_gib_per_device": round(ma.output_size_in_bytes / gib, 3),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(rec))
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = \
+        (flags + " --xla_force_host_platform_device_count=2").strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from tools import aot_tp2; aot_tp2._impl()"],
+        env=env, cwd=repo, stdout=subprocess.PIPE, text=True)
+    line = next((ln for ln in (proc.stdout or "").splitlines()
+                 if ln.startswith("{")), None)
+    if proc.returncode != 0 or line is None:
+        sys.stderr.write(proc.stdout or "")
+        sys.exit(1)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

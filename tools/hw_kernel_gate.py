@@ -124,6 +124,17 @@ def kernel_errors():
         xw, ln1, qkv_p, thg, twg, pr, ln2, m1, m2, (ws, ws), nhw,
         (Hg, Wg), nwc, 1e-6, interpret=i))
 
+    # the SHIPPED default split pair (r4: ANYREF_FUSED_SPLIT defaults on) —
+    # gated separately from the combined kernel so a numerics drift in the
+    # production path shows up as its own row in HWGATE_r*.json (VERDICT r4
+    # weak #4)
+    err("fused_window_attn", lambda i: flash.fused_window_attn(
+        xw, ln1, qkv_p, thg, twg, pr, (ws, ws), nhw, (Hg, Wg), nwc, 1e-6,
+        interpret=i))
+    xs = jnp.asarray(_params(rng, NW * Lw, C, dtype=bf16))
+    err("fused_mlp_stream", lambda i: flash.fused_mlp_stream(
+        xs, ln2, m1, m2, 1e-6, interpret=i))
+
     # fused global tail
     Hgl = 16
     Lg = Hgl * Hgl
@@ -137,9 +148,23 @@ def kernel_errors():
     return errs
 
 
+MEM_BUDGET_GIB = 15.70   # pinned: r4 measured 15.63 G with ~120 MB headroom
+
+
+def serving_mem_gate():
+    """AOT-compile the batch-2 flagship serving program (abstract inputs, no
+    weights materialized) and check compiled memory against the pinned
+    budget — so a refactor that re-introduces a layout temp fails THIS gate
+    instead of OOMing on device mid-bench (VERDICT r4 #8)."""
+    from tools import mem_analysis
+    bd = mem_analysis.serving_breakdown(preset="7b", batch=2)
+    return {k: round(v, 3) for k, v in bd.items()}
+
+
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
     errs = kernel_errors()
+    mem = serving_mem_gate()
 
     env = dict(os.environ, ANYREF_TEST_PLATFORM="axon")
     proc = subprocess.run(
@@ -150,7 +175,8 @@ def main():
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         timeout=int(os.environ.get("HWGATE_PYTEST_DEADLINE_S", "3600")))
     tail = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
-    ok = proc.returncode == 0 and all(e < TOL for e in errs.values())
+    ok = (proc.returncode == 0 and all(e < TOL for e in errs.values())
+          and mem["total_gib"] < MEM_BUDGET_GIB)
     result = {
         "metric": "hw_kernel_gate",
         "value": 1.0 if ok else 0.0,
@@ -159,6 +185,8 @@ def main():
         "pytest_tail": tail,
         "tolerance": TOL,
         "max_abs_err": {k: round(v, 5) for k, v in errs.items()},
+        "serving_batch2_mem": mem,
+        "mem_budget_gib": MEM_BUDGET_GIB,
     }
     line = json.dumps(result)
     print(line)
