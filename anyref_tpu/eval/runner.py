@@ -58,7 +58,8 @@ class Predictor:
                  speculative: bool = False,
                  draft_len: Optional[int] = None,
                  max_accept: Optional[int] = None,
-                 mask_fetch_dtype: str = "float32"):
+                 mask_fetch_dtype: str = "float32",
+                 fetch_segs: Optional[int] = None):
         # buckets = 1 (mod 128): +255 image expansion lands prefill on
         # flash-aligned lengths (384/448/512/640/768). Batch sizes also
         # bucket (pad with dummy rows) so a serving queue never triggers a
@@ -93,6 +94,12 @@ class Predictor:
         # logit scale, far inside the sigmoid>0.5 decision margin). Eval
         # keeps float32 so metric numerics are unchanged.
         self.mask_fetch_dtype = jnp.dtype(mask_fetch_dtype)
+        # serving fetches only the first fetch_segs mask slots: referring
+        # answers carry one [SEG] (reference answer templates emit exactly
+        # one, utils/coco_instance.py conversation forms), while the full
+        # [B, max_seg_per_sample, 256, 256] readback is 8x the bytes over
+        # the serving tunnel. Eval keeps all slots (None).
+        self.fetch_segs = fetch_segs
         if speculative and _single_device(params):
             # Serving-layout conversion (transposed + fused decoder weights)
             # CONSUMES the caller's param tree: it rewrites the nested layer
@@ -138,9 +145,11 @@ class Predictor:
                                       speculative=spec, **kw)
                 # return ONLY what complete() fetches: XLA dead-code
                 # eliminates the rest, and the d2h mask readback can ride
-                # the tunnel at the caller-chosen precision
-                return (out.output_ids,
-                        out.low_res_masks.astype(low_dtype),
+                # the tunnel at the caller-chosen precision/slot count
+                low = out.low_res_masks
+                if self.fetch_segs is not None:
+                    low = low[:, :self.fetch_segs]
+                return (out.output_ids, low.astype(low_dtype),
                         out.seg_valid)
 
             self._jitted[keyset] = jax.jit(run, static_argnums=(1,))
@@ -215,7 +224,8 @@ class Predictor:
         seg_valid = np.asarray(seg)[:B]
         masks: List[Optional[np.ndarray]] = []
         for b in range(low.shape[0]):
-            n = int(seg_valid[b].sum())
+            # clamp to the fetched slot count (fetch_segs may trim the slots)
+            n = min(int(seg_valid[b].sum()), low.shape[1])
             if n == 0:
                 masks.append(None)
                 continue

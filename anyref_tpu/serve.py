@@ -53,7 +53,10 @@ class Server:
                  speculative: Optional[bool] = None,
                  max_new_tokens: Optional[int] = None,
                  draft_len: Optional[int] = None,
-                 max_accept: Optional[int] = None):
+                 max_accept: Optional[int] = None,
+                 fetch_segs: Optional[int] = 1,
+                 fill_wait_ms: float = 500.0,
+                 pipeline_depth: int = 2):
         self.cfg = cfg
         self.tok = tokenizer or AnyRefTokenizer()
         # speculative decoding is the measured-best config (bench.py: ~5 q/s
@@ -76,15 +79,34 @@ class Server:
         # readback (tunnel-bound at ~30 MB/s on axon; measured 133 ms for a
         # batch-2 f32 fetch) — one bf16 ulp is ~0.03 on the logit scale,
         # inside the sigmoid>0.5 margin
+        # fetch_segs=1: serving answers carry one [SEG] (the reference answer
+        # templates emit exactly one), and fetching all 8 canvas slots costs
+        # 8x the d2h bytes per batch on the tunnel. fetch_segs=None restores
+        # the full readback for multi-seg callers.
         self.predictor = Predictor(params, cfg, speculative=speculative,
                                    max_new_tokens=max_new_tokens,
                                    draft_len=draft_len,
                                    max_accept=max_accept,
                                    batch_buckets=(max_batch,),
-                                   mask_fetch_dtype="bfloat16")
+                                   mask_fetch_dtype="bfloat16",
+                                   fetch_segs=fetch_segs)
         self.collator = Collator(self.tok, cfg, train=False)
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        # fill_wait: how long the micro-batcher may hold a partial group
+        # when MORE requests are already inside the server (submitted but
+        # not yet grouped). A singleton group still pays the full padded
+        # batch program (ONE bucket, see below), so dispatching at
+        # max_wait while a partner is mid-preprocess halves throughput for
+        # nothing — measured 1.55 rows/batch at max_wait=20ms (r5). The
+        # plain max_wait still bounds the no-load case: an idle server
+        # dispatches a singleton after max_wait_ms.
+        self.fill_wait = fill_wait_ms / 1000.0
+        # submitted-but-not-yet-grouped: lets the batcher distinguish "no
+        # partner coming" (dispatch now) from "partner mid-preprocess"
+        # (hold the group open up to fill_wait)
+        self._pending = 0
+        self._pending_lock = threading.Lock()
         # batching efficiency counters (single device thread writes them):
         # avg rows/batch << max_batch means the micro-batcher is starved.
         # *_ms sums are per-stage wall time for throughput diagnosis:
@@ -103,11 +125,11 @@ class Server:
         self._pre_q: "queue.Queue" = queue.Queue()
         self._run_q: "queue.Queue" = queue.Queue()
         # dispatched-but-unfetched programs; maxsize bounds in-flight device
-        # programs to 2 (the same dispatch-pipeline depth bench.py uses):
-        # the device loop dispatches batch N+1 while the completion thread
-        # fetches/postprocesses N, hiding fetch time and the tunnel's
+        # programs (default 2, the same dispatch-pipeline depth bench.py
+        # uses): the device loop dispatches batch N+1 while the completion
+        # thread fetches/postprocesses N, hiding fetch time and the tunnel's
         # slow-dispatch windows behind device time
-        self._fin_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._fin_q: "queue.Queue" = queue.Queue(maxsize=max(1, pipeline_depth))
         self._stop = threading.Event()
         # orders submit's stop-check-then-enqueue against shutdown's
         # stop-set-then-drain, so no request can land in _pre_q after the
@@ -127,8 +149,18 @@ class Server:
             if self._stop.is_set():
                 self._finish(req, {"error": "server shut down"})
                 return req
+            with self._pending_lock:
+                self._pending += 1
             self._pre_q.put(req)
         return req
+
+    def _ungroup(self, n: int) -> None:
+        with self._pending_lock:
+            self._pending -= n
+
+    def _upstream(self) -> int:
+        with self._pending_lock:
+            return self._pending
 
     def segment(self, image, text=None, **kw) -> dict:
         return self.submit(Request(image=image, text=text, **kw)).result()
@@ -167,6 +199,8 @@ class Server:
                 # _pre_q holds Requests, _run_q (req, sample) pairs, _fin_q
                 # (reqs, samples, handle) groups — fail every request
                 reqs = head if isinstance(head, (tuple, list)) else [head]
+                if q is not self._fin_q:   # _fin_q items already ungrouped
+                    self._ungroup(len(reqs))
                 for req in reqs:
                     self._finish(req, {"error": "server shut down"})
 
@@ -218,6 +252,7 @@ class Server:
                 sample = self._build_sample(req)
                 self._run_q.put((req, sample))
             except Exception as e:
+                self._ungroup(1)   # never reaches a device group
                 self._finish(req, {"error": str(e)})
 
     def _device_loop(self):
@@ -236,16 +271,29 @@ class Server:
                 break
             t1 = time.time()
             group = [first]
-            deadline = t1 + self.max_wait
+            # two deadlines: max_wait when the group has no partner coming
+            # (idle server -> dispatch the singleton fast), fill_wait when
+            # more requests are KNOWN to be upstream (submitted, still in
+            # preprocess) — a partial group pays the full padded-batch
+            # program, so waiting ~one preprocess latency for the partner
+            # beats dispatching half-empty (measured 1.55 rows/batch ->
+            # 2.0 with this rule, r5)
+            hard_deadline = t1 + self.fill_wait
             while len(group) < self.max_batch:
-                remaining = deadline - time.time()
+                now = time.time()
+                more_coming = self._upstream() > len(group)
+                deadline = hard_deadline if more_coming else \
+                    min(t1 + self.max_wait, hard_deadline)
+                remaining = deadline - now
                 if remaining <= 0:
                     break
                 try:
-                    group.append(self._run_q.get(timeout=remaining))
+                    group.append(self._run_q.get(
+                        timeout=min(remaining, 0.05)))
                 except queue.Empty:
-                    break
+                    continue
             t2 = time.time()
+            self._ungroup(len(group))
             reqs, samples = zip(*group)
             self.stats["batches"] += 1
             self.stats["rows"] += len(group)

@@ -205,6 +205,9 @@ def serve_main():
     server = Server(params, cfg, max_batch=batch_size,
                     max_wait_ms=float(os.environ.get("BENCH_MAX_WAIT_MS",
                                                      "20")),
+                    fill_wait_ms=float(os.environ.get("BENCH_FILL_WAIT_MS",
+                                                      "500")),
+                    pipeline_depth=int(os.environ.get("BENCH_PIPELINE", "2")),
                     preprocess_workers=workers, speculative=speculative,
                     max_new_tokens=decode_tokens, draft_len=draft_len,
                     max_accept=max_accept)
