@@ -114,6 +114,8 @@ class Predictor:
             self.params["llama"] = llama_mod.fuse_for_serving(
                 llama_mod.transpose_for_serving(self.params["llama"]))
         self._jitted = {}
+        self.decode_passes_total = 0
+        self.completed_batches = 0
 
     def _fn(self, keyset):
         if keyset not in self._jitted:
@@ -149,8 +151,20 @@ class Predictor:
                 low = out.low_res_masks
                 if self.fetch_segs is not None:
                     low = low[:, :self.fetch_segs]
-                return (out.output_ids, low.astype(low_dtype),
-                        out.seg_valid)
+                # pack ids + seg_valid + decode_passes into ONE int32 array:
+                # each d2h readback pays a tunnel round-trip on top of its
+                # bytes, so three small fetches per batch cost ~3 RTTs where
+                # one does — and the pass count (the speculative-acceptance
+                # diagnostic) rides along for free
+                B = out.output_ids.shape[0]
+                meta = jnp.concatenate([
+                    out.output_ids.astype(jnp.int32),
+                    out.seg_valid.astype(jnp.int32),
+                    jnp.broadcast_to(
+                        out.decode_passes.astype(jnp.int32).reshape(1, 1),
+                        (B, 1)),
+                ], axis=1)
+                return meta, low.astype(low_dtype)
 
             self._jitted[keyset] = jax.jit(run, static_argnums=(1,))
         return self._jitted[keyset]
@@ -218,10 +232,15 @@ class Predictor:
 
     def complete(self, handle):
         """Fetch + host postprocess for a predict_async handle."""
-        (out_ids, low_res, seg), batch, B = handle
-        output_ids = np.asarray(out_ids)[:B]
+        (meta, low_res), batch, B = handle
+        meta_np = np.asarray(meta)
+        output_ids = meta_np[:B, :self.mnt]
+        seg_valid = meta_np[:B, self.mnt:-1]
+        # speculative-acceptance diagnostic: decode weight streams this
+        # batch (tokens/pass = mnt / passes); serving reports the average
+        self.decode_passes_total += int(meta_np[0, -1])
+        self.completed_batches += 1
         low = np.asarray(low_res).astype(np.float32)[:B]
-        seg_valid = np.asarray(seg)[:B]
         masks: List[Optional[np.ndarray]] = []
         for b in range(low.shape[0]):
             # clamp to the fetched slot count (fetch_segs may trim the slots)

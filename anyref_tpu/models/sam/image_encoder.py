@@ -261,8 +261,10 @@ def _fused_window_layer_enabled(cfg: SamConfig) -> bool:
     # CPU stays on the unfused resident path (interpret-mode Pallas for
     # 24 layers x 25 windows would bloat the suite); the equivalence
     # test forces the kernel on via ANYREF_FUSED_WINDOW_BLOCK=1.
+    from ...ops import flash as _flash
+
     ws = cfg.window_size
-    if not 64 <= ws * ws <= 1024:
+    if not (_flash.pallas_enabled() and 64 <= ws * ws <= 1024):
         return False
     env = os.environ.get("ANYREF_FUSED_WINDOW_BLOCK")
     if env is not None:

@@ -124,7 +124,8 @@ def mha_qkv(qkv: jax.Array, num_heads: int,
     B, L, C3 = qkv.shape
     C = C3 // 3
     hd = C // num_heads
-    if os.environ.get("ANYREF_QKV_MHA_KERNEL", "1") != "1":
+    if (os.environ.get("ANYREF_QKV_MHA_KERNEL", "1") != "1"
+            or not _flash.pallas_enabled()):
         q, k, v = (qkv[..., i * C:(i + 1) * C]
                    .reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
                    for i in range(3))

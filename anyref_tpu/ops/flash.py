@@ -44,7 +44,22 @@ def _pick_bq(L: int, target: int = 512) -> int:
 # ---------------------------------------------------------------------------
 # SAM global attention with decomposed rel-pos
 # ---------------------------------------------------------------------------
+def pallas_enabled() -> bool:
+    """Master kernel switch. ANYREF_PALLAS=0 routes every dispatch site to
+    its XLA fallback path (all kernels have equivalence-tested oracles).
+
+    Required for multi-device SPMD programs today: Mosaic custom calls
+    cannot be auto-partitioned by GSPMD ("Mosaic kernels cannot be
+    automatically partitioned. Please wrap the call in a shard_map"), so a
+    generate/train program compiled over a >1-device mesh must use the XLA
+    paths until the kernels are shard_map-wrapped. Also the operational
+    kill switch if a kernel misbehaves on new hardware."""
+    return os.environ.get("ANYREF_PALLAS", "1") == "1"
+
+
 def supported_relpos(H: int, W: int, head_dim: int) -> bool:
+    if not pallas_enabled():
+        return False
     L = H * W
     bq = _pick_bq(L, 256)
     if L >= 1024:
@@ -188,6 +203,8 @@ def flash_relpos_attention(q, k, v, rel_h_table, rel_w_table, size_hw,
 # causal prefill attention
 # ---------------------------------------------------------------------------
 def supported_causal(Lq: int, Lk: int, head_dim: int) -> bool:
+    if not pallas_enabled():
+        return False
     bq = _pick_bq(Lq, 256)
     return Lq == Lk and Lq >= 128 and bq >= 128 and bq % 8 == 0
 
@@ -538,7 +555,7 @@ def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
 
 
 def supported_layer_norm(n: int, c: int) -> bool:
-    return c % 128 == 0 and n >= 8
+    return pallas_enabled() and c % 128 == 0 and n >= 8
 
 
 def layer_norm_fused(x, scale, bias, eps: float, interpret: bool = False):
@@ -1144,6 +1161,8 @@ def _fused_global_tail_kernel(x_ref, q_ref, kv_ref, rht_ref, rwt_ref,
 
 
 def supported_global_fused(H: int, W: int, head_dim: int) -> bool:
+    if not pallas_enabled():
+        return False
     L = H * W
     bq = _pick_bq(L, 256)
     return (L >= 1024 and bq >= 128 and H % 8 == 0 and W % 8 == 0

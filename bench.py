@@ -231,6 +231,8 @@ def serve_main():
         # call), which would swamp the steady-state per-stage numbers
         for k in server.stats:
             server.stats[k] = 0 if k in ("batches", "rows") else 0.0
+        server.predictor.decode_passes_total = 0
+        server.predictor.completed_batches = 0
 
         import threading
         done = threading.Event()
@@ -309,6 +311,15 @@ def serve_main():
             "avg_rows_per_batch": round(
                 server.stats["rows"] / max(1, server.stats["batches"]), 2),
             "compiled_programs": len(server.predictor._jitted),
+            # speculative-acceptance on REAL prompts: the device-program
+            # bench reuses a resident synthetic batch; this measures what
+            # the server path actually accepts per decode pass
+            "avg_decode_passes_per_batch": round(
+                server.predictor.decode_passes_total
+                / max(1, server.predictor.completed_batches), 2),
+            "tok_per_pass": round(
+                decode_tokens * server.predictor.completed_batches
+                / max(1, server.predictor.decode_passes_total), 2),
             **stages,
         }))
     finally:

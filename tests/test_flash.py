@@ -402,3 +402,19 @@ def test_mha_qkv_kernel_matches_split_oracle(monkeypatch):
     want = att.mha_qkv(qkv, nh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                **tol(2e-5))
+
+
+def test_pallas_master_switch(monkeypatch):
+    """ANYREF_PALLAS=0 must force every supported_* gate off (the multi-
+    device SPMD compile path relies on this to avoid un-partitionable
+    Mosaic custom calls — see ops/flash.pallas_enabled)."""
+    from anyref_tpu.ops import flash
+
+    assert flash.supported_layer_norm(256, 256)
+    assert flash.supported_causal(256, 256, 64)
+    monkeypatch.setenv("ANYREF_PALLAS", "0")
+    assert not flash.pallas_enabled()
+    assert not flash.supported_layer_norm(256, 256)
+    assert not flash.supported_causal(256, 256, 64)
+    assert not flash.supported_relpos(14, 14, 64)
+    assert not flash.supported_global_fused(64, 64, 80)

@@ -11,12 +11,16 @@ Predictor's multi-device path: plain layout, llama.decode_chunk handles
 both), and records per-device resident weight bytes plus the compiled
 temp/output sizes.
 
-Runs on a 2-device virtual CPU mesh (the same self-provisioning subprocess
-trick as __graft_entry__.dryrun_multichip) because only one physical TPU
-chip is attached; XLA partitioning/layout correctness is backend-independent
-at this level, and per-device WEIGHT bytes are analytic (shape/spec math).
-Projected q/s is derived in BASELINE.md from the measured single-chip stage
-costs, not from this tool.
+Compiles for the REAL v5e target by default: JAX's AOT topology API
+(jax.experimental.topologies.get_topology_desc('v5e:2x2x1')) reaches the
+TPU compiler without attached chips, so memory_analysis() reports the
+actual TPU buffer assignment per device — data=2 x model=2 (the smallest
+one-host v5e slice), batch 4 PER DATA REPLICA. Falls back to a 2-device
+virtual CPU mesh (AOT_TP2_BACKEND=cpu) where only partitioning correctness
+is checked and per-device WEIGHT bytes come from analytic spec math (the
+CPU backend's temp accounting is not representative of TPU). Projected q/s
+is derived in BASELINE.md from the measured single-chip stage costs, not
+from this tool.
 
 Usage: python tools/aot_tp2.py [AOT_TP2_r05.json]
 """
@@ -29,12 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _impl():
-    import functools
-
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     import __graft_entry__ as g
     from anyref_tpu.config import anyref_7b
@@ -47,7 +49,20 @@ def _impl():
     cfg = anyref_7b()
     isnone = lambda x: x is None  # noqa: E731
 
-    tp_mesh = make_mesh(data=1, model=2)
+    if os.environ.get("AOT_TP2_BACKEND", "tpu") == "tpu":
+        # compile-only client for the real v5e target: 2x2 one-host slice,
+        # data=2 x model=2, batch rows sharded over data (4 per replica)
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x2x1")
+        tp_mesh = Mesh(np.array(topo.devices).reshape(2, 2),
+                       ("data", "model"))
+        batch_global = batch * 2
+        backend = "tpu-aot(v5e:2x2)"
+    else:
+        tp_mesh = make_mesh(data=1, model=2)
+        batch_global = batch
+        backend = "cpu"
     params_abs = jax.eval_shape(
         lambda k: anyref.init(k, cfg, dtype=jnp.bfloat16), jax.random.key(0))
     pspec = partition.anyref_spec(params_abs, cfg)
@@ -61,7 +76,7 @@ def _impl():
 
     import bench
     batch_data = jax.eval_shape(
-        lambda: bench.make_batch(cfg, batch_size=batch))
+        lambda: bench.make_batch(cfg, batch_size=batch_global))
     batch_abs = {k: jax.ShapeDtypeStruct(
         v.shape, v.dtype, sharding=NamedSharding(tp_mesh, P(DATA_AXIS)))
         for k, v in batch_data.items()}
@@ -82,20 +97,33 @@ def _impl():
     weights_per_dev = g._sharded_bytes(params_abs, pspec, tp_mesh)
     ma = compiled.memory_analysis()
     gib = 1 << 30
-    # memory_analysis on the virtual CPU mesh reports per-device temp/output
-    # for the partitioned program; argument bytes come from the analytic
-    # spec math (authoritative for weights)
+    # TPU backend: memory_analysis is the real per-device buffer assignment
+    # (argument/temp/code), so the fit verdict is authoritative. CPU
+    # fallback: only the analytic weight bytes are meaningful.
     rec = {
         "metric": "aot_tp2_serving",
         "value": 1.0,
         "unit": "pass",
-        "mesh": {"data": 1, "model": 2},
-        "batch": batch,
+        "mesh": dict(zip(tp_mesh.axis_names,
+                         (int(s) for s in tp_mesh.devices.shape))),
+        "batch_per_replica": batch,
+        "batch_global": batch_global,
         "decode_tokens": decode_tokens,
-        "weights_gib_per_device": round(weights_per_dev / gib, 3),
+        "weights_gib_per_device_analytic": round(weights_per_dev / gib, 3),
+        "argument_gib_per_device": round(ma.argument_size_in_bytes / gib, 3),
         "temp_gib_per_device": round(ma.temp_size_in_bytes / gib, 3),
+        "code_gib_per_device": round(
+            ma.generated_code_size_in_bytes / gib, 3),
         "output_gib_per_device": round(ma.output_size_in_bytes / gib, 3),
-        "backend": jax.default_backend(),
+        "total_gib_per_device": round(
+            (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+             + ma.generated_code_size_in_bytes
+             + ma.output_size_in_bytes - ma.alias_size_in_bytes) / gib, 3),
+        "fits_15p75_gib": (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                           + ma.generated_code_size_in_bytes
+                           + ma.output_size_in_bytes
+                           - ma.alias_size_in_bytes) / gib < 15.75,
+        "backend": backend,
     }
     print(json.dumps(rec))
 
@@ -103,11 +131,17 @@ def _impl():
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
     env = dict(os.environ)
-    flags = env.get("XLA_FLAGS", "")
-    env["XLA_FLAGS"] = \
-        (flags + " --xla_force_host_platform_device_count=2").strip()
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    if env.get("AOT_TP2_BACKEND", "tpu") == "tpu":
+        # multi-device SPMD cannot auto-partition Mosaic custom calls; the
+        # sharded program uses the XLA oracle paths (ops/flash.pallas_enabled)
+        env.setdefault("ANYREF_PALLAS", "0")
+    if env.get("AOT_TP2_BACKEND", "tpu") == "cpu":
+        # virtual-mesh fallback: self-provision 2 CPU devices
+        flags = env.get("XLA_FLAGS", "")
+        env["XLA_FLAGS"] = \
+            (flags + " --xla_force_host_platform_device_count=2").strip()
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
