@@ -18,11 +18,13 @@ TPU-first choices:
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ...config import SamConfig
 from ...ops.common import conv2d, gelu, layer_norm, layer_norm_2d, linear
@@ -101,6 +103,7 @@ def _attn_block(p, x: jax.Array, num_heads: int, size_hw: tuple[int, int]) -> ja
 
     L = H * W
     if (L < 1024 and _flash.supported_relpos(*size_hw, head_dim)
+            and _flash.mesh_rows_ok(B)
             and os.environ.get("ANYREF_QKV_WINDOW_KERNEL", "1") == "1"):
         # window path: the kernel consumes the raw fused-QKV tensor and
         # slices heads as VMEM columns — the [B,L,3C] -> [B,nh,L,hd] x3
@@ -111,9 +114,13 @@ def _attn_block(p, x: jax.Array, num_heads: int, size_hw: tuple[int, int]) -> ja
         # and every later run passed.) ANYREF_QKV_WINDOW_KERNEL=0 opts out.
         # Equivalence: test_relpos_qkv_kernel_matches_split_path.
         qkv = linear(p["qkv"], x).reshape(B, L, 3 * C)
-        out = _flash.flash_relpos_attention_qkv(
-            qkv, rh, rw, size_hw, num_heads,
-            interpret=jax.default_backend() != "tpu")
+        # multi-device: windows (batch-major) over "data"; tables replicated
+        call = _flash.shard_wrap(
+            functools.partial(_flash.flash_relpos_attention_qkv,
+                              size_hw=size_hw, num_heads=num_heads,
+                              interpret=jax.default_backend() != "tpu"),
+            in_specs=(P("data"), P(), P()), out_specs=P("data"))
+        out = call(qkv, rh, rw)
         return linear(p["proj"], out.reshape(B, H, W, C))
 
     qkv = linear(p["qkv"], x).reshape(B, L, 3, num_heads, head_dim)
@@ -179,16 +186,24 @@ def _fused_global_layer(p, x: jax.Array, cfg: SamConfig) -> jax.Array:
     twt = _get_rel_pos_table(W, p["attn"]["rel_pos_w"])
     h = layer_norm(p["norm1"], x, eps=cfg.layer_norm_eps, fused=True)
     qkv = linear(p["attn"]["qkv"], h.reshape(B, H * W, C))
-    out = _flash.fused_global_tail(
-        x.reshape(B, H * W, C), qkv, tht, twt, p["attn"]["proj"],
-        p["norm2"], p["mlp"]["lin1"], p["mlp"]["lin2"], (H, W),
-        cfg.encoder_num_heads, eps=cfg.layer_norm_eps,
-        interpret=jax.default_backend() != "tpu")
+    # multi-device: image batch over "data", weights/tables replicated
+    call = _flash.shard_wrap(
+        functools.partial(_flash.fused_global_tail,
+                          size_hw=(H, W), num_heads=cfg.encoder_num_heads,
+                          eps=cfg.layer_norm_eps,
+                          interpret=jax.default_backend() != "tpu"),
+        in_specs=(P("data"), P("data"), P(), P(), P(), P(), P(), P()),
+        out_specs=P("data"))
+    out = call(x.reshape(B, H * W, C), qkv, tht, twt, p["attn"]["proj"],
+               p["norm2"], p["mlp"]["lin1"], p["mlp"]["lin2"])
     return out.reshape(B, H, W, C)
 
 
 def _block(p, x: jax.Array, cfg: SamConfig, window: bool) -> jax.Array:
-    if not window and _fused_global_layer_enabled(cfg, x.shape[1], x.shape[2]):
+    from ...ops import flash as _flash
+
+    if (not window and _fused_global_layer_enabled(cfg, x.shape[1], x.shape[2])
+            and _flash.mesh_rows_ok(x.shape[0])):
         return _fused_global_layer(p, x, cfg)
     shortcut = x
     x = layer_norm(p["norm1"], x, eps=cfg.layer_norm_eps, fused=True)
@@ -231,20 +246,33 @@ def _fused_window_layer(p, xw: jax.Array, cfg: SamConfig,
         # 2.88 vs 3.03 ms/layer standalone, e2e 7.41 vs 7.36 q/s.
         # ANYREF_FUSED_SPLIT=0 restores the combined whole-layer kernel.
         NW, L, C = xw.shape
-        x1 = _flash.fused_window_attn(
-            xw, p["norm1"], p["attn"]["qkv"], tht, twt, p["attn"]["proj"],
-            (ws, ws), cfg.encoder_num_heads, grid_hw, nwc,
-            eps=cfg.layer_norm_eps, interpret=interp)
-        return _flash.fused_mlp_stream(
-            x1.reshape(NW * L, C), p["norm2"], p["mlp"]["lin1"],
-            p["mlp"]["lin2"], eps=cfg.layer_norm_eps,
-            interpret=interp).reshape(NW, L, C)
-    return _flash.fused_window_block(
-        xw, p["norm1"], p["attn"]["qkv"], tht, twt, p["attn"]["proj"],
-        p["norm2"], p["mlp"]["lin1"], p["mlp"]["lin2"],
-        (ws, ws), cfg.encoder_num_heads, grid_hw, nwc,
-        eps=cfg.layer_norm_eps,
-        interpret=interp)
+        # multi-device: windows (batch-major, B divides so shard cuts fall
+        # on image boundaries) over "data"; weights/tables replicated
+        attn_call = _flash.shard_wrap(
+            functools.partial(_flash.fused_window_attn,
+                              size_hw=(ws, ws),
+                              num_heads=cfg.encoder_num_heads,
+                              grid_hw=grid_hw, nwc=nwc,
+                              eps=cfg.layer_norm_eps, interpret=interp),
+            in_specs=(P("data"), P(), P(), P(), P(), P()),
+            out_specs=P("data"))
+        x1 = attn_call(xw, p["norm1"], p["attn"]["qkv"], tht, twt,
+                       p["attn"]["proj"])
+        mlp_call = _flash.shard_wrap(
+            functools.partial(_flash.fused_mlp_stream,
+                              eps=cfg.layer_norm_eps, interpret=interp),
+            in_specs=(P("data"), P(), P(), P()), out_specs=P("data"))
+        return mlp_call(x1.reshape(NW * L, C), p["norm2"], p["mlp"]["lin1"],
+                        p["mlp"]["lin2"]).reshape(NW, L, C)
+    block_call = _flash.shard_wrap(
+        functools.partial(_flash.fused_window_block,
+                          size_hw=(ws, ws), num_heads=cfg.encoder_num_heads,
+                          grid_hw=grid_hw, nwc=nwc,
+                          eps=cfg.layer_norm_eps, interpret=interp),
+        in_specs=(P("data"),) + (P(),) * 8, out_specs=P("data"))
+    return block_call(xw, p["norm1"], p["attn"]["qkv"], tht, twt,
+                      p["attn"]["proj"], p["norm2"], p["mlp"]["lin1"],
+                      p["mlp"]["lin2"])
 
 
 def _fused_window_layer_enabled(cfg: SamConfig) -> bool:
@@ -318,7 +346,8 @@ def apply(params: dict, x: jax.Array, cfg: SamConfig) -> jax.Array:
     pad_mask, _ = _window_partition(
         jnp.ones((1, H, W, 1), x.dtype), ws)          # [nw, ws, ws, 1]
     win_x = pad_hw = None
-    fused = _fused_window_layer_enabled(cfg)
+    from ...ops import flash as _flash
+    fused = _fused_window_layer_enabled(cfg) and _flash.mesh_rows_ok(x.shape[0])
     for i, bp in enumerate(params["blocks"]):
         if i in cfg.encoder_global_attn_indexes:
             if win_x is not None:

@@ -10,10 +10,14 @@ Two tiers, one signature:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from . import flash as _flash
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def _interpret() -> bool:
@@ -40,8 +44,18 @@ def attention_with_decomposed_relpos(
     scale = hd ** -0.5
 
     if use_flash and _flash.supported_relpos(H, W, hd):
-        return _flash.flash_relpos_attention(q, k, v, rel_h_table, rel_w_table,
-                                             size_hw, interpret=_interpret())
+        m = _flash.kernel_mesh()
+        if m is None or B % m.shape.get(DATA_AXIS, 1) == 0:
+            call = functools.partial(_flash.flash_relpos_attention,
+                                     size_hw=size_hw, interpret=_interpret())
+            # multi-device: batch over "data", heads local (vision towers
+            # replicate over "model" — parallel/partition.py)
+            call = _flash.shard_wrap(
+                call, in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                                P(), P()),
+                out_specs=P(DATA_AXIS), mesh=m)
+            return call(q, k, v, rel_h_table, rel_w_table)
+        # mesh set but batch not divisible: XLA oracle below
 
     qg = q.reshape(B, nh, H, W, hd)
     rel_h = jnp.einsum("bnhwc,hkc->bnhwk", qg, rel_h_table.astype(q.dtype),
@@ -87,14 +101,31 @@ def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             qp, kp, vp = (jnp.pad(t, padw) for t in (q, k, v))
         else:
             qp, kp, vp = q, k, v
-        if _flash.supported_causal(Lp, Lp, hd):
+        m = _flash.kernel_mesh()
+        divisible = (m is None
+                     or (B % m.shape.get(DATA_AXIS, 1) == 0
+                         and nh % m.shape.get(MODEL_AXIS, 1) == 0))
+        if _flash.supported_causal(Lp, Lp, hd) and divisible:
+            # multi-device: batch over "data", heads over "model" (LLaMA
+            # attention q/k/v are Megatron column-sharded on the head dim —
+            # parallel/partition.py); the kernel never contracts over either
+            qkv_spec = P(DATA_AXIS, MODEL_AXIS)
             if differentiable:
-                out = _flash.flash_causal_attention_diff(
-                    qp, kp, vp, kv_start, _interpret())
+                fn = lambda q_, k_, v_, ks_: _flash.flash_causal_attention_diff(  # noqa: E731,E501
+                    q_, k_, v_, ks_, _interpret())
             else:
-                out = _flash.flash_causal_attention(qp, kp, vp,
-                                                    kv_start=kv_start,
-                                                    interpret=_interpret())
+                fn = lambda q_, k_, v_, ks_: _flash.flash_causal_attention(  # noqa: E731,E501
+                    q_, k_, v_, kv_start=ks_, interpret=_interpret())
+            if kv_start is None:
+                call = _flash.shard_wrap(
+                    lambda q_, k_, v_: fn(q_, k_, v_, None),
+                    in_specs=(qkv_spec,) * 3, out_specs=qkv_spec, mesh=m)
+                out = call(qp, kp, vp)
+            else:
+                call = _flash.shard_wrap(
+                    fn, in_specs=(qkv_spec,) * 3 + (P(DATA_AXIS),),
+                    out_specs=qkv_spec, mesh=m)
+                out = call(qp, kp, vp, kv_start)
             return out[:, :, :Lq]
 
     logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
@@ -124,13 +155,19 @@ def mha_qkv(qkv: jax.Array, num_heads: int,
     B, L, C3 = qkv.shape
     C = C3 // 3
     hd = C // num_heads
+    m = _flash.kernel_mesh()
     if (os.environ.get("ANYREF_QKV_MHA_KERNEL", "1") != "1"
-            or not _flash.pallas_enabled()):
+            or not _flash.pallas_enabled()
+            or (m is not None and B % m.shape.get(DATA_AXIS, 1))):
         q, k, v = (qkv[..., i * C:(i + 1) * C]
                    .reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
                    for i in range(3))
         from .common import mha
         o = mha(q, k, v, scale=scale)
         return o.transpose(0, 2, 1, 3).reshape(B, L, C)
-    return _flash.flash_attention_qkv(qkv, num_heads, scale=scale,
-                                      interpret=_interpret())
+    call = functools.partial(_flash.flash_attention_qkv,
+                             num_heads=num_heads, scale=scale,
+                             interpret=_interpret())
+    call = _flash.shard_wrap(call, in_specs=(P(DATA_AXIS),),
+                             out_specs=P(DATA_AXIS), mesh=m)
+    return call(qkv)

@@ -12,6 +12,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as _P
+
+
+def _norm_mesh(_flash, x):
+    """Multi-device norm dispatch: shard the leading (batch-major) dim over
+    "data" when a kernel mesh is active (Mosaic calls can't be GSPMD-auto-
+    partitioned; see flash.set_kernel_mesh). Returns (mesh_or_None,
+    data_axis_size) — the gate must see the per-shard row count — or
+    (None, 0) when a mesh is active but the rows don't shard evenly (the
+    kernel must NOT run unwrapped inside a multi-device program; d=0 fails
+    the supported_layer_norm gate so the XLA norm runs instead)."""
+    m = _flash.kernel_mesh()
+    if m is None:
+        return None, 1
+    d = m.shape.get("data", 1)
+    if x.shape[0] % d:
+        return None, 0   # not evenly shardable: force the XLA norm
+    return m, d
 
 
 def linear(p, x: jax.Array) -> jax.Array:
@@ -44,10 +62,15 @@ def layer_norm(p, x: jax.Array, eps: float = 1e-6,
         from . import flash as _flash
         C = x.shape[-1]
         N = x.size // max(C, 1)
-        if _flash.supported_layer_norm(N, C):
+        m, d = _norm_mesh(_flash, x)
+        if d and _flash.supported_layer_norm(N // d, C):
             interpret = jax.default_backend() != "tpu"
-            return _flash.layer_norm_fused(x, p["scale"], p["bias"], eps,
-                                           interpret=interpret)
+            call = _flash.shard_wrap(
+                lambda x_, s_, b_: _flash.layer_norm_fused(
+                    x_, s_, b_, eps, interpret=interpret),
+                in_specs=(_P("data"), _P(), _P()), out_specs=_P("data"),
+                mesh=m)
+            return call(x, p["scale"], p["bias"])
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -77,10 +100,14 @@ def rms_norm(p, x: jax.Array, eps: float = 1e-6,
         from . import flash as _flash
         C = x.shape[-1]
         N = x.size // max(C, 1)
-        if _flash.supported_layer_norm(N, C):
+        m, d = _norm_mesh(_flash, x)
+        if d and _flash.supported_layer_norm(N // d, C):
             interpret = jax.default_backend() != "tpu"
-            return _flash.rms_norm_fused(x, p["scale"], eps,
-                                         interpret=interpret)
+            call = _flash.shard_wrap(
+                lambda x_, s_: _flash.rms_norm_fused(
+                    x_, s_, eps, interpret=interpret),
+                in_specs=(_P("data"), _P()), out_specs=_P("data"), mesh=m)
+            return call(x, p["scale"])
     xf = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
     y = xf * jax.lax.rsqrt(var + eps)

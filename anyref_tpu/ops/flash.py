@@ -48,13 +48,67 @@ def pallas_enabled() -> bool:
     """Master kernel switch. ANYREF_PALLAS=0 routes every dispatch site to
     its XLA fallback path (all kernels have equivalence-tested oracles).
 
-    Required for multi-device SPMD programs today: Mosaic custom calls
-    cannot be auto-partitioned by GSPMD ("Mosaic kernels cannot be
-    automatically partitioned. Please wrap the call in a shard_map"), so a
-    generate/train program compiled over a >1-device mesh must use the XLA
-    paths until the kernels are shard_map-wrapped. Also the operational
-    kill switch if a kernel misbehaves on new hardware."""
+    Multi-device SPMD programs keep the kernels via set_kernel_mesh()
+    (shard_map wrapping at the dispatch sites); ANYREF_PALLAS=0 remains the
+    operational kill switch if a kernel misbehaves on new hardware, and the
+    fallback for meshes the wrap specs don't cover."""
     return os.environ.get("ANYREF_PALLAS", "1") == "1"
+
+
+# ---------------------------------------------------------------------------
+# multi-device kernel dispatch (shard_map wrapping)
+# ---------------------------------------------------------------------------
+# Mosaic custom calls cannot be auto-partitioned by GSPMD ("Mosaic kernels
+# cannot be automatically partitioned. Please wrap the call in a shard_map").
+# When a program is built over a >1-device mesh, the model entry point
+# registers the mesh here (process-global: tracing may happen on a different
+# thread than the one that built the program, e.g. the serving device loop)
+# and every kernel dispatch site wraps its pallas_call in a shard_map whose
+# in_specs mirror the framework's standard layout (parallel/partition.py):
+# activations batch-sharded over "data", LLaMA attention heads sharded over
+# "model", vision-tower activations and all kernel weights replicated.
+# Inside the shard_map each device runs the identical single-chip kernel on
+# its local shard — no cross-shard reductions are needed because the kernels
+# never contract over batch or heads.
+_KERNEL_MESH = None
+
+
+def set_kernel_mesh(mesh) -> None:
+    """Register (or clear, with None) the mesh used to shard_map-wrap
+    Pallas kernel dispatches. Call before tracing any multi-device program;
+    single-device programs ignore it."""
+    global _KERNEL_MESH
+    _KERNEL_MESH = mesh
+
+
+def kernel_mesh():
+    """The active multi-device kernel mesh, or None (single-device: call
+    kernels directly)."""
+    m = _KERNEL_MESH
+    if m is None or m.size == 1:
+        return None
+    return m
+
+
+def mesh_rows_ok(n: int) -> bool:
+    """True when a leading batch-major dim of size `n` shards evenly over
+    the active kernel mesh's "data" axis (or no mesh is active). Dispatch
+    sites must NOT emit an unwrapped Mosaic call when this is False — fall
+    back to the XLA oracle instead."""
+    m = kernel_mesh()
+    return m is None or n % m.shape.get("data", 1) == 0
+
+
+def shard_wrap(fn, in_specs, out_specs, mesh=None):
+    """shard_map `fn` over the active kernel mesh (or `mesh`). in_specs /
+    out_specs are pytree prefixes of fn's args/results. check_vma=False:
+    the bodies are Mosaic custom calls whose replication the checker cannot
+    see through."""
+    m = mesh if mesh is not None else kernel_mesh()
+    if m is None:
+        return fn
+    return jax.shard_map(fn, mesh=m, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
 
 
 def supported_relpos(H: int, W: int, head_dim: int) -> bool:

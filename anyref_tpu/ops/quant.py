@@ -114,7 +114,13 @@ def int8_matmul_xla(x: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Array
 
 def quant_linear(p: dict, x: jax.Array) -> jax.Array:
     """linear() drop-in for {"w_q", "scale"} params."""
-    if jax.default_backend() == "tpu":
+    from . import flash as _flash
+
+    # multi-device: the XLA path partitions under GSPMD (quantized decoder
+    # weights shard their CONTRACTION dim on row-parallel layers, which a
+    # local shard_map wrap can't express without an explicit psum)
+    if (jax.default_backend() == "tpu" and _flash.pallas_enabled()
+            and _flash.kernel_mesh() is None):
         y = int8_matmul(x, p["w_q"], p["scale"])
     else:
         y = int8_matmul_xla(x, p["w_q"], p["scale"])

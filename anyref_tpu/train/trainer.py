@@ -66,6 +66,11 @@ class Trainer:
         self.tc = tc
         self.tokenizer = tokenizer or AnyRefTokenizer()
         self.mesh = make_mesh(model=tc.mesh_model_axis)
+        if self.mesh.size > 1:
+            # shard_map-wrap Pallas dispatches for the multi-device step
+            # (Mosaic calls can't be GSPMD-auto-partitioned; ops/flash.py)
+            from ..ops import flash as flash_mod
+            flash_mod.set_kernel_mesh(self.mesh)
         self.lora_cfg = lora_mod.LoraConfig()
         self.optimizer = step_mod.make_optimizer(
             lr=tc.learning_rate, warmup=tc.warmup_steps,

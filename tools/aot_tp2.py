@@ -50,19 +50,31 @@ def _impl():
     isnone = lambda x: x is None  # noqa: E731
 
     if os.environ.get("AOT_TP2_BACKEND", "tpu") == "tpu":
-        # compile-only client for the real v5e target: 2x2 one-host slice,
-        # data=2 x model=2, batch rows sharded over data (4 per replica)
+        # compile-only client for the real v5e target (smallest AOT topology
+        # is the one-host 2x2 slice). Default mesh 1x2 — the VERDICT's exact
+        # claim "batch >= 4 needs TP >= 2" — using 2 of the slice's devices;
+        # AOT_TP2_MESH=2x2 compiles the dp2 x tp2 variant (batch per data
+        # replica).
         from jax.experimental import topologies
         topo = topologies.get_topology_desc(platform="tpu",
                                             topology_name="v5e:2x2x1")
-        tp_mesh = Mesh(np.array(topo.devices).reshape(2, 2),
-                       ("data", "model"))
-        batch_global = batch * 2
-        backend = "tpu-aot(v5e:2x2)"
+        dsz, msz = (int(v) for v in
+                    os.environ.get("AOT_TP2_MESH", "1x2").split("x"))
+        tp_mesh = Mesh(
+            np.array(topo.devices[:dsz * msz]).reshape(dsz, msz),
+            ("data", "model"))
+        batch_global = batch * dsz
+        backend = f"tpu-aot(v5e:{dsz}x{msz})"
     else:
         tp_mesh = make_mesh(data=1, model=2)
         batch_global = batch
         backend = "cpu"
+    # shard_map-wrap the Pallas kernels for the multi-device trace — the
+    # REAL serving program, not the ANYREF_PALLAS=0 fallback (whose XLA
+    # global-attention oracle materializes ~8 GiB of rel-pos logits and
+    # blows the budget for reasons the production path doesn't have)
+    from anyref_tpu.ops import flash as flash_mod
+    flash_mod.set_kernel_mesh(tp_mesh)
     params_abs = jax.eval_shape(
         lambda k: anyref.init(k, cfg, dtype=jnp.bfloat16), jax.random.key(0))
     pspec = partition.anyref_spec(params_abs, cfg)
@@ -131,10 +143,6 @@ def _impl():
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
     env = dict(os.environ)
-    if env.get("AOT_TP2_BACKEND", "tpu") == "tpu":
-        # multi-device SPMD cannot auto-partition Mosaic custom calls; the
-        # sharded program uses the XLA oracle paths (ops/flash.pallas_enabled)
-        env.setdefault("ANYREF_PALLAS", "0")
     if env.get("AOT_TP2_BACKEND", "tpu") == "cpu":
         # virtual-mesh fallback: self-provision 2 CPU devices
         flags = env.get("XLA_FLAGS", "")
