@@ -58,6 +58,7 @@ class Predictor:
                  speculative: bool = False,
                  draft_len: Optional[int] = None,
                  max_accept: Optional[int] = None,
+                 force_accept: bool = False,
                  mask_fetch_dtype: str = "float32",
                  fetch_segs: Optional[int] = None):
         # buckets = 1 (mod 128): +255 image expansion lands prefill on
@@ -89,6 +90,10 @@ class Predictor:
         # sweep runs through the same serving machinery it measures
         self.draft_len = draft_len
         self.max_accept = max_accept
+        # bench-ONLY (anyref._speculative_decode): accept exactly max_accept
+        # drafts per pass regardless of verification — output is the draft
+        # stream, not greedy. Never set on an eval/production path.
+        self.force_accept = force_accept
         # serving sets bfloat16: halves the device->host mask readback on the
         # tunnel (the host postprocess upcasts; one bf16 ulp ~0.03 on the
         # logit scale, far inside the sigmoid>0.5 decision margin). Eval
@@ -113,6 +118,15 @@ class Predictor:
             from ..models import llama as llama_mod
             self.params["llama"] = llama_mod.fuse_for_serving(
                 llama_mod.transpose_for_serving(self.params["llama"]))
+        if not _single_device(params):
+            # multi-device params: register the mesh so every Pallas dispatch
+            # site shard_map-wraps its kernel (Mosaic custom calls cannot be
+            # GSPMD-auto-partitioned — ops/flash.set_kernel_mesh). Process-
+            # global by design: tracing happens lazily on the serving device
+            # loop's thread, not here.
+            from ..ops import flash as _flash
+            leaf = jax.tree.leaves(params["llama"]["layers"][0])[0]
+            _flash.set_kernel_mesh(leaf.sharding.mesh)
         self._jitted = {}
         self.decode_passes_total = 0
         self.completed_batches = 0
@@ -127,6 +141,8 @@ class Predictor:
                 kw["draft_len"] = self.draft_len
             if spec and self.max_accept is not None:
                 kw["max_accept"] = self.max_accept
+                if self.force_accept:
+                    kw["force_accept"] = True
             low_dtype = self.mask_fetch_dtype
 
             def run(params, cfg, batch):

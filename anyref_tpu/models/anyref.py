@@ -254,7 +254,8 @@ def _prompt_lookup_draft(seq: jax.Array, cur_len: jax.Array, ngram: int,
 
 def _speculative_decode(params, cfg, exp_ids, pad_len, cache, first_tok,
                         Lp: int, mnt: int, G: int, ngram: int, dtype,
-                        max_accept: "Optional[int]" = None):
+                        max_accept: "Optional[int]" = None,
+                        force_accept: bool = False):
     """BATCHED speculative decode loop (lockstep-min acceptance). Each
     iteration feeds, per row, the pending token + G per-row lookup drafts in
     one multi-token pass (one weight stream serves the whole batch: verify
@@ -272,6 +273,15 @@ def _speculative_decode(params, cfg, exp_ids, pad_len, cache, first_tok,
     (BENCH_FORCE_ACCEPT): sweeps the q/s-vs-acceptance curve so the
     throughput claim is measurable at realistic acceptance rates, not just
     the degenerate full-echo regime of random weights.
+
+    ``force_accept`` (bench-ONLY, requires max_accept): accept exactly
+    ``max_accept`` draft tokens per pass regardless of verification — the
+    emitted stream is the DRAFT stream, NOT the greedy stream. Exists so
+    the serving-surface bench can run at a stated acceptance rate with
+    random weights (whose natural prompt-lookup acceptance is ~1.2
+    tok/pass, unrepresentative of real referring answers that echo the
+    prompt — measured floor 4.12 on a trained model, SWEEP_r04.jsonl);
+    machinery cost per pass is identical to a genuine k-token acceptance.
 
     Returns (output_ids [B, mnt], gen_hidden [B, mnt, D]) — bit-identical
     to the plain greedy loop.
@@ -314,7 +324,13 @@ def _speculative_decode(params, cfg, exp_ids, pad_len, cache, first_tok,
         no_eos_before = jnp.cumprod(jnp.concatenate(
             [ones, (feed[:, :G] != eos).astype(jnp.int32)], axis=1), axis=1)
         ok = acc * no_eos_before                                 # [B, G+1]
-        if max_accept is not None:
+        if force_accept and max_accept is not None:
+            # bench-only: accept the first max_accept feed slots verbatim
+            # (still a prefix set — no_eos_before is a cumprod — so the
+            # frontier/cache-rewrite induction is untouched)
+            ok = no_eos_before * (arange_g < max_accept).astype(
+                jnp.int32)[None]
+        elif max_accept is not None:
             ok = ok * (arange_g < max_accept).astype(jnp.int32)[None]
         n_emit_row = jnp.sum(ok, axis=1)                         # [B]
         # finished rows must not throttle the batch
@@ -559,7 +575,8 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
              max_new_tokens: Optional[int] = None,
              speculative: bool = False, draft_len: int = 31,
              lookup_ngram: int = 2,
-             max_accept: Optional[int] = None) -> GenerateOutput:
+             max_accept: Optional[int] = None,
+             force_accept: bool = False) -> GenerateOutput:
     """Greedy decode + SAM mask synthesis (reference anyref.py:647-822).
 
     batch: input_ids [B, T] (prompt only, LEFT-padded with one <image>),
@@ -634,7 +651,7 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
             _speculative_decode(
                 params, cfg, exp_ids, pad_len, cache, first_tok, Lp, mnt,
                 draft_len, lookup_ngram, embeds.dtype,
-                max_accept=max_accept)
+                max_accept=max_accept, force_accept=force_accept)
     else:
         def cond(carry):
             i, _, _, done, _, _, _ = carry

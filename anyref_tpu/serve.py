@@ -54,6 +54,7 @@ class Server:
                  max_new_tokens: Optional[int] = None,
                  draft_len: Optional[int] = None,
                  max_accept: Optional[int] = None,
+                 force_accept: bool = False,
                  fetch_segs: Optional[int] = 1,
                  fill_wait_ms: float = 500.0,
                  pipeline_depth: int = 2):
@@ -87,6 +88,7 @@ class Server:
                                    max_new_tokens=max_new_tokens,
                                    draft_len=draft_len,
                                    max_accept=max_accept,
+                                   force_accept=force_accept,
                                    batch_buckets=(max_batch,),
                                    mask_fetch_dtype="bfloat16",
                                    fetch_segs=fetch_segs)

@@ -246,3 +246,26 @@ def test_speculative_serving_layout_supports_rephrase():
     assert "qkv" in params["llama"]["layers"][0]["attn"]  # conversion ran
     ids_s, _ = spec.predict(batch)
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_s))
+
+
+@pytest.mark.slow
+def test_force_accept_fixes_pass_count():
+    """force_accept (bench-ONLY) must make machinery cost independent of
+    model luck: exactly ~ceil(mnt/k) verify passes at acceptance k even
+    though random weights' natural prompt-lookup acceptance is ~1, and the
+    program must keep running (ids shaped, finite masks) since the emitted
+    stream is the DRAFT stream, not greedy."""
+    params = anyref.init(jax.random.key(0), CFG, dtype=jnp.float32)
+    batch = _batch(np.random.default_rng(0))
+    mnt = 12
+    for k in (2, 4):
+        out = jax.jit(functools.partial(
+            anyref.generate, max_new_tokens=mnt, speculative=True,
+            draft_len=8, max_accept=k, force_accept=True),
+            static_argnums=(1,))(params, CFG, batch)
+        passes = int(np.asarray(out.decode_passes))
+        # EOS inside a draft span may shorten a pass; allow a small excess
+        assert -(-mnt // k) <= passes <= -(-mnt // k) + 3, (k, passes)
+        ids = np.asarray(out.output_ids)
+        assert ids.shape == (1, mnt)
+        assert np.isfinite(np.asarray(out.low_res_masks)).all()

@@ -88,6 +88,33 @@ def main():
         run("split", lambda z: enc._fused_window_layer(
             p, z.reshape(NW, L, C), cfg, (H, W), nwc).reshape(z.shape))
         os.environ.pop("ANYREF_FUSED_SPLIT", None)
+    # --- per-phase attribution of the split pair (VERDICT r4 #6) --------
+    # Times each kernel of the pair ALONE in its own chain; phase ms/layer
+    # sum ≈ pair ms/layer (no cross-kernel fusion exists to lose). The
+    # rel-pos tables are precomputed once like the encoder does per layer.
+    if mode in ("phases", "attn"):
+        from anyref_tpu.ops import flash as _flash
+        tht = enc._get_rel_pos_table(
+            ws, p["attn"]["rel_pos_h"]).reshape(ws * ws, -1)
+        twt = enc._get_rel_pos_table(
+            ws, p["attn"]["rel_pos_w"]).reshape(ws * ws, -1)
+        run("attn", lambda z: _flash.fused_window_attn(
+            z.reshape(NW, L, C), p["norm1"], p["attn"]["qkv"], tht, twt,
+            p["attn"]["proj"], (ws, ws), cfg.encoder_num_heads, (H, W),
+            nwc, eps=cfg.layer_norm_eps).reshape(z.shape))
+    if mode in ("phases", "mlp"):
+        from anyref_tpu.ops import flash as _flash
+        run("mlp", lambda z: _flash.fused_mlp_stream(
+            z.reshape(NW * L, C), p["norm2"], p["mlp"]["lin1"],
+            p["mlp"]["lin2"], eps=cfg.layer_norm_eps).reshape(z.shape))
+    if mode == "phases":
+        # GELU variant of the MLP stream: the lone transcendental knob
+        from anyref_tpu.ops import flash as _flash
+        os.environ["ANYREF_FUSED_GELU"] = "tanh"
+        run("mlp-tanh", lambda z: _flash.fused_mlp_stream(
+            z.reshape(NW * L, C), p["norm2"], p["mlp"]["lin1"],
+            p["mlp"]["lin2"], eps=cfg.layer_norm_eps).reshape(z.shape))
+        os.environ.pop("ANYREF_FUSED_GELU", None)
 
 
 if __name__ == "__main__":
