@@ -49,7 +49,7 @@ class Server:
     def __init__(self, params, cfg: AnyRefConfig,
                  tokenizer: Optional[AnyRefTokenizer] = None,
                  max_batch: int = 2, max_wait_ms: float = 5.0,
-                 preprocess_workers: int = 4,
+                 preprocess_workers: int = 8,
                  speculative: Optional[bool] = None,
                  max_new_tokens: Optional[int] = None,
                  draft_len: Optional[int] = None,
@@ -57,7 +57,7 @@ class Server:
                  force_accept: bool = False,
                  fetch_segs: Optional[int] = 1,
                  fill_wait_ms: float = 500.0,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 3):
         self.cfg = cfg
         self.tok = tokenizer or AnyRefTokenizer()
         # speculative decoding is the measured-best config (bench.py: ~5 q/s
@@ -119,6 +119,12 @@ class Server:
         self.stats = {"batches": 0, "rows": 0, "wait_ms": 0.0,
                       "group_ms": 0.0, "collate_ms": 0.0, "dispatch_ms": 0.0,
                       "fetch_ms": 0.0, "post_ms": 0.0}
+        # reset_stats() epoch: the device loop may be mid-idle-wait (t0
+        # already ticking) when a caller zeros the counters — e.g. bench.py
+        # resetting after the warmup batch whose first jit compile the loop
+        # idled through — so wait spans clamp to max(t0, epoch) or the
+        # first post-reset batch absorbs minutes of pre-reset idle time
+        self._stats_epoch = 0.0
         # uint8 image I/O: preprocess threads emit uint8 PIXEL canvases and
         # the device normalizes — cuts the per-batch host->device upload 4x
         # (f32 images measured ~800 ms/batch-2 over the ~30 MB/s serving
@@ -127,10 +133,13 @@ class Server:
         self._pre_q: "queue.Queue" = queue.Queue()
         self._run_q: "queue.Queue" = queue.Queue()
         # dispatched-but-unfetched programs; maxsize bounds in-flight device
-        # programs (default 2, the same dispatch-pipeline depth bench.py
-        # uses): the device loop dispatches batch N+1 while the completion
-        # thread fetches/postprocesses N, hiding fetch time and the tunnel's
-        # slow-dispatch windows behind device time
+        # programs: the device loop dispatches batch N+1 while the
+        # completion thread fetches/postprocesses N, hiding fetch time and
+        # the tunnel's slow-dispatch windows behind device time. Depth 3 is
+        # the measured optimum (r5 sweep: depth 2 = 3.2 q/s starved, depth
+        # 3 = 5.5, depth 4 = 4.2 — deeper queues contend on the wire);
+        # preprocess_workers=8 likewise (4 starves the loop at ~90 ms
+        # make_sample per request).
         self._fin_q: "queue.Queue" = queue.Queue(maxsize=max(1, pipeline_depth))
         self._stop = threading.Event()
         # orders submit's stop-check-then-enqueue against shutdown's
@@ -166,6 +175,16 @@ class Server:
 
     def segment(self, image, text=None, **kw) -> dict:
         return self.submit(Request(image=image, text=text, **kw)).result()
+
+    def reset_stats(self) -> None:
+        """Zero the per-stage counters (e.g. after a warmup batch whose
+        first-call jit compile would swamp steady-state numbers)."""
+        for k in self.stats:
+            self.stats[k] = 0 if k in ("batches", "rows") else 0.0
+        self._stats_epoch = time.time()
+        p = self.predictor
+        p.decode_passes_total = p.completed_batches = 0
+        p.h2d_bytes_total = p.d2h_bytes_total = 0
 
     def shutdown(self, timeout: float = 30.0):
         """Stop the loops and fail any still-pending requests so no caller
@@ -299,7 +318,7 @@ class Server:
             reqs, samples = zip(*group)
             self.stats["batches"] += 1
             self.stats["rows"] += len(group)
-            self.stats["wait_ms"] += (t1 - t0) * 1e3
+            self.stats["wait_ms"] += (t1 - max(t0, self._stats_epoch)) * 1e3
             self.stats["group_ms"] += (t2 - t1) * 1e3
             try:
                 batch = self.collator(list(samples))
