@@ -240,64 +240,47 @@ def meteor(hypotheses: List[str], references: List[List[str]],
 
 
 # ---------------------------------------------------------------------------
-# SPICE (native approximation: F1 over shallow semantic tuples)
+# SPICE (scene-graph tuple F1, Anderson et al. 2016)
 # ---------------------------------------------------------------------------
-_SPICE_STOP = frozenset(
-    "a an the is are was were be been being am do does did has have had of to"
-    " in on at by with for from into onto over under and or as that this it"
-    " its there which who whom".split())
-# prepositions treated as SPICE relation heads (subject, rel, object) —
-# includes the locative preps the stop list drops plus spatial preps that
-# are otherwise content words
-_SPICE_REL = frozenset(
-    "in on at by with for from into onto over under near above below behind"
-    " beside between across along around inside outside against atop next"
-    " beneath underneath toward towards".split())
 
 
 def _spice_tuples(s: str) -> set:
-    """Shallow proposition tuples: stemmed content unigrams (objects /
-    attributes), adjacent content-word bigrams (attribute-object pairs),
-    and (subject, preposition, object) relation triples anchored on a
-    closed prepositional class — a rule-based stand-in for SPICE's
-    scene-graph parse (the reference's pycocoevalcap SPICE runs a Java
-    dependency parser, out of scope for a native metric; same
-    F1-over-tuples scoring). On short region captions — mostly noun
-    phrases with locative preps — adjacency + prepositional triples
-    approximate the parser's attribute/relation edges."""
-    raw = [t for t in _tokens(s) if t]
-    toks = [t for t in raw if t not in _SPICE_STOP]
-    stems = [_stem(t) for t in toks]
-    tuples = set((t,) for t in stems)
-    tuples.update(zip(stems, stems[1:]))
-    for i, t in enumerate(raw):
-        if t in _SPICE_REL:
-            subj = next((w for w in reversed(raw[:i])
-                         if w not in _SPICE_STOP and w not in _SPICE_REL),
-                        None)
-            obj = next((w for w in raw[i + 1:]
-                        if w not in _SPICE_STOP and w not in _SPICE_REL),
-                       None)
-            if subj is not None and obj is not None:
-                tuples.add((_stem(subj), t, _stem(obj)))
-    return tuples
+    """Scene-graph tuples via the native caption parser (scene_graph.py):
+    POS tag -> NP chunk -> clause rules -> (object) / (object, attribute) /
+    (subject, relation, object) tuples, content words Porter-stemmed — the
+    same tuple families the reference's SPICE extracts with the Stanford
+    Scene Graph Parser (pycocoevalcap, eval_refer_inv.py:204-211)."""
+    from .scene_graph import parse_tuples
+    return parse_tuples(s, stem=_stem)
+
+
+def _tuples_match(a: tuple, b: tuple) -> bool:
+    """SPICE tuple equivalence: equal length and every slot matches exactly
+    or via WordNet synonymy (SPICE's synset merging; active only when
+    nltk's wordnet corpus is installed — _wn_lemmas degrades to empty)."""
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if x != y and x not in _wn_lemmas(y) and y not in _wn_lemmas(x):
+            return False
+    return True
 
 
 def spice(hypotheses: List[str], references: List[List[str]]) -> float:
-    """SPICE-style F1 between hypothesis tuples and the union of reference
-    tuples, averaged over the corpus (Anderson et al. 2016 scoring on
-    approximate tuples; see _spice_tuples).
+    """SPICE: F1 between hypothesis scene-graph tuples and the union of
+    reference tuples, averaged over the corpus (Anderson et al. 2016 —
+    the scoring the reference runs via pycocoevalcap's Java pipeline,
+    eval_refer_inv.py:204-211).
 
-    Deviation bounds vs pycocoevalcap's SPICE (Java dependency parse +
-    WordNet synset merging, unavailable here): the scoring formula (mean
-    per-caption F1 over tuples) is exact, but the tuple extraction is
-    shallow, so absolute values are NOT comparable to published SPICE
-    numbers — on identical/disjoint captions both agree (1.0 / 0.0), and
-    on typical region captions (short noun phrases, where adjacency ≈
-    dependency) the stand-in tracks direction but can differ by up to
-    ~0.1-0.2 absolute on reordered or long relational sentences. Treat it
-    as a relative-comparison metric between checkpoints, not a
-    leaderboard-comparable SPICE."""
+    Tuple extraction is the native caption parser in scene_graph.py (it
+    reproduces the SPICE paper's own worked example exactly); matching
+    allows WordNet synonym equivalence per slot when the wordnet corpus is
+    present, else falls back to stem-exact (tested both ways in
+    tests/test_caption_metrics.py). Deviation vs the Java pipeline: the
+    tagger/chunker is a caption-domain rule grammar rather than a trained
+    CoreNLP parse, so long relational or garden-path sentences can
+    mis-attach a PP; on region-caption-style text (short noun phrases with
+    locative preps) the extracted graphs agree."""
     scores = []
     for hyp, refs in zip(hypotheses, references):
         ht = _spice_tuples(hyp)
@@ -305,7 +288,19 @@ def spice(hypotheses: List[str], references: List[List[str]]) -> float:
         if not ht or not rt:
             scores.append(1.0 if ht == rt else 0.0)
             continue
-        inter = len(ht & rt)
+        if _WN_STATE[0] is not False and _wn_lemmas("cat"):
+            # greedy bipartite match under synonym equivalence (exact hits
+            # claimed first so a synonym never steals an exact partner)
+            unmatched = set(rt)
+            inter = 0
+            for t in sorted(ht, key=lambda t: t not in rt):
+                hit = t if t in unmatched else next(
+                    (u for u in unmatched if _tuples_match(t, u)), None)
+                if hit is not None:
+                    unmatched.discard(hit)
+                    inter += 1
+        else:
+            inter = len(ht & rt)
         p = inter / len(ht)
         r = inter / len(rt)
         scores.append(2 * p * r / (p + r) if p + r > 0 else 0.0)

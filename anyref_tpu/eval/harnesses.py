@@ -161,11 +161,12 @@ def evaluate_refer_inverse(predictor: Predictor, tokenizer, data_root: str,
         import warnings
         warnings.warn("nltk unavailable: meteor/spice reported as NaN")
         met = spc = float("nan")
-    # key says "shallow": the scorer is rule-based tuple SPICE, not the
-    # reference's Java dependency-parse SPICE (eval_refer_inv.py:204-211) —
-    # comparable between checkpoints, not to published SPICE numbers
+    # spice = scene-graph tuple F1 via the native caption parser
+    # (eval/scene_graph.py), the same extraction+scoring family as the
+    # reference's Java SPICE (eval_refer_inv.py:204-211); WordNet synonym
+    # matching activates automatically when the corpus is installed
     result = {"bleu4": bleu_n(hyps, refs, 4), "cider": cider_d(hyps, refs),
-              "meteor": met, "spice_shallow": spc,
+              "meteor": met, "spice": spc,
               "n": seen}
     out_dir = os.path.join(out_root, dataset, split)
     os.makedirs(out_dir, exist_ok=True)

@@ -160,10 +160,62 @@ def test_cider_length_penalty():
 def test_spice_identity_disjoint_and_partial():
     assert spice(["the red cat"], [["the red cat"]]) == 1.0
     assert spice(["purple elephant"], [["wooden table"]]) == 0.0
-    # hand-computed partial: hyp tuples {(red,),(cat,),(red,cat)};
-    # ref tuples {(blue,),(cat,),(blue,cat)}; inter={(cat,)} -> P=R=1/3
+    # hand-computed partial: hyp tuples {(cat,),(cat,red)};
+    # ref tuples {(cat,),(cat,blue)}; inter={(cat,)} -> P=R=1/2
     got = spice(["a red cat"], [["a blue cat"]])
-    assert got == pytest.approx(1.0 / 3.0, abs=1e-12)
+    assert got == pytest.approx(0.5, abs=1e-12)
+
+
+def test_scene_graph_paper_example():
+    """The SPICE paper's (Anderson et al. 2016, fig. 1) worked caption must
+    parse to exactly the paper's tuple set — objects, attributes (incl. the
+    noun-noun compound), the participle attribute, and the multiword-prep
+    relation."""
+    from anyref_tpu.eval.caption_metrics import _stem
+    from anyref_tpu.eval.scene_graph import parse_tuples
+
+    got = parse_tuples("a young girl standing on top of a tennis court",
+                       stem=_stem)
+    want = {(_stem("girl"),), (_stem("girl"), _stem("young")),
+            (_stem("girl"), _stem("stand")), (_stem("court"),),
+            (_stem("court"), _stem("tennis")),
+            (_stem("girl"), "on top of", _stem("court"))}
+    assert got == want
+
+
+def test_scene_graph_clause_rules():
+    from anyref_tpu.eval.caption_metrics import _stem
+    from anyref_tpu.eval.scene_graph import parse_tuples
+
+    def p(s):
+        return parse_tuples(s, stem=_stem)
+
+    # predicative adjective: "NP is ADJ" -> (subj, adj)
+    assert (_stem("cat"), _stem("black")) in p("the cat is black")
+    # verb with object NP -> (subj, verb, obj), never (obj, verb)
+    t = p("a man riding a horse")
+    assert (_stem("man"), _stem("ride"), _stem("horse")) in t
+    assert (_stem("horse"), _stem("ride")) not in t
+    # PP attaches to the nearest NP
+    assert (_stem("cat"), "on", _stem("mat")) in p("a red cat on the mat")
+    # noun/verb homograph after a determiner is a noun, not a verb
+    t = p("a woman in a blue dress")
+    assert (_stem("dress"), _stem("blue")) in t
+    assert (_stem("woman"), "in", _stem("dress")) in t
+    # plural-verb relation ("the dog chases the ball")
+    assert (_stem("dog"), _stem("chase"), _stem("ball")) in p(
+        "the dog chases the ball")
+
+
+def test_spice_parse_beats_bag_of_words_on_role_swap():
+    """The parser encodes argument structure: swapping subject and object
+    changes the relation tuple, so SPICE must score the role-swapped
+    caption strictly below the faithful one (a bag-of-words/adjacency
+    stand-in cannot make this distinction from identical token sets)."""
+    refs = [["a dog chasing a cat"]]
+    faithful = spice(["the dog chases the cat"], refs)
+    swapped = spice(["the cat chases the dog"], refs)
+    assert faithful > swapped
 
 
 def test_meteor_degrades_without_nltk(monkeypatch):

@@ -125,9 +125,9 @@ def test_refer_inv_reports_all_metric_families():
     import inspect
     from anyref_tpu.eval import harnesses
     src = inspect.getsource(harnesses.evaluate_refer_inverse)
-    # the SPICE family is emitted as "spice_shallow": the scorer is the
-    # rule-based tuple stand-in, not dependency-parse SPICE
-    for key in ("bleu4", "cider", "meteor", "spice_shallow"):
+    # the SPICE family is emitted as "spice": scene-graph tuple F1 via
+    # the native caption parser (eval/scene_graph.py)
+    for key in ("bleu4", "cider", "meteor", "spice"):
         assert key in src
 
 
@@ -184,7 +184,7 @@ def test_eval_refer_inverse_smoke(data_root):  # noqa: F811
     r = evaluate_refer_inverse(pred, AnyRefTokenizer(), data_root, "refcoco",
                                split="val", out_root=out_root, limit=1)
     assert r["n"] == 1
-    for key in ("bleu4", "cider", "meteor", "spice_shallow"):
+    for key in ("bleu4", "cider", "meteor", "spice"):
         v = r[key]
         assert math.isnan(v) or 0.0 <= v <= 10.0, (key, v)
     assert os.path.exists(os.path.join(out_root, "refcoco", "val",
