@@ -626,10 +626,12 @@ def generate(params: dict, cfg: AnyRefConfig, batch: dict,
     # round capacity up to the bf16 sublane tile: cache_len is the
     # second-minor dim of the [.., cache_len, head_dim] K/V arrays, and a
     # non-multiple-of-16 length (e.g. 384+12+16=412 at max_new_tokens=12)
-    # forces Mosaic/XLA relayouts in every decode step — measured 3x
-    # slower end-to-end and ~5x slower to compile than the aligned 432 of
-    # the decode32 program. Extra slots are dead capacity: keys past
-    # write_pos are causally masked (llama._layer q_offset), never read.
+    # is a relayout hazard — XLA pads every cache read/update to the tile
+    # (the only unaligned measurement, decode12 at 2.46 q/s vs the aligned
+    # decode32 program's 7.4, was taken in a congested tunnel window, so
+    # the honest claim is the hazard, not a clean 3x). Extra slots are
+    # dead capacity: keys past write_pos are causally masked
+    # (llama._layer q_offset), never read.
     cache_len = -(-cache_len // 16) * 16
     cache = llama.init_cache(cfg.llama, B, cache_len, dtype=embeds.dtype)
     hidden, cache, pf_lastin = llama.prefill(params["llama"], cfg.llama,

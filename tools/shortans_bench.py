@@ -94,7 +94,12 @@ def main():
                                 BENCH_BATCH=1)),
     ]
     for tag, envo in sweep:
-        rec = run_bench(tag, **envo)
+        # single long attempt: a fresh 7B compile through the shared
+        # remote-compile service can take ~10 min in congested periods
+        # (the decode32 control is compile-cached and doesn't pay this);
+        # retrying a killed compile restarts it from scratch, so one
+        # 1500 s attempt beats two 600 s ones
+        rec = run_bench(tag, deadline_s=1500, attempts=1, **envo)
         if rec is not None:
             rows.append(rec)
 
